@@ -1,0 +1,310 @@
+"""Host-side BFV key generation, encryption, decryption (NumPy).
+
+TPU-native replacement for SEAL 2.3's KeyGenerator / Encryptor / Decryptor
+(reference usage client_jpeg.cpp:96-116, 266-278).  The trusted client side
+stays on host: secret material never touches the accelerator.  All polynomial
+arithmetic is vectorized NumPy over RNS limbs with host NTTs, so encrypting a
+whole image of coefficients is one batched call rather than the reference's
+per-coefficient loop (client_jpeg.cpp:140-165).
+
+Ciphertext layout everywhere: ``uint32[size, L, n]`` (or batched
+``[B, size, L, n]``), coefficient domain unless stated otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core import ntt
+from .encoder import Plaintext
+from .params import BfvParams, MAX_ERROR_MULT
+
+
+def _rns_lift_signed(small: np.ndarray, primes) -> np.ndarray:
+    """Map small signed coeffs [..., n] -> RNS uint32 [..., L, n]."""
+    out = []
+    for p in primes:
+        out.append(np.mod(small.astype(np.int64), int(p)).astype(np.uint32))
+    return np.stack(out, axis=-2)
+
+
+def centered_lift_plain(coeffs_mod_t: np.ndarray, params: BfvParams) -> np.ndarray:
+    """[0,t) plaintext coeffs [..., n] -> centered RNS uint32 [..., L, n].
+
+    SEAL's plain_upper_half lift: coefficients >= (t+1)/2 map to c - t
+    (i.e. c + (p_i - t) mod p_i), keeping noise growth symmetric.
+    """
+    thr = params.plain_upper_half_threshold
+    c = coeffs_mod_t.astype(np.int64)
+    centered = np.where(c >= thr, c - params.t, c)
+    return _rns_lift_signed(centered, params.q_primes)
+
+
+@dataclass
+class SecretKey:
+    small: np.ndarray  # int8 [n] in {-1,0,1}
+    params: BfvParams
+    _ntt_pows: dict = field(default_factory=dict, repr=False)
+
+    def ntt_power(self, k: int) -> np.ndarray:
+        """NTT(s^k) over the q base, uint32 [L, n]; cached."""
+        if k not in self._ntt_pows:
+            t = self.params.tables_q
+            if k == 0:
+                raise ValueError("s^0 never needed")
+            if k == 1:
+                rns = _rns_lift_signed(self.small.astype(np.int64), self.params.q_primes)
+                self._ntt_pows[1] = ntt.np_ntt(rns, t)
+            else:
+                prev = self.ntt_power(k - 1)
+                s1 = self.ntt_power(1)
+                p = t.p.astype(np.uint64).reshape(-1, 1)
+                self._ntt_pows[k] = (
+                    prev.astype(np.uint64) * s1.astype(np.uint64) % p
+                ).astype(np.uint32)
+        return self._ntt_pows[k]
+
+
+@dataclass
+class PublicKey:
+    data: np.ndarray  # uint32 [2, L, n], coefficient domain
+    params: BfvParams
+
+    def ntt(self) -> np.ndarray:
+        return ntt.np_ntt(self.data, self.params.tables_q)
+
+
+@dataclass
+class RelinKeys:
+    """Evaluation keys for relinearizing s^k components (k >= 2) down to
+    degree 1, using per-RNS-limb decomposition with optional 2^dbc
+    sub-digits.  keys[k] has shape uint32 [n_digits, 2, L, n] (NTT domain).
+    """
+
+    keys: dict  # k -> np.ndarray [D, 2, L, n]
+    digit_bits: int
+    params: BfvParams
+
+
+class KeyGenerator:
+    def __init__(self, params: BfvParams, seed: Optional[int] = None):
+        self.params = params
+        self.rng = np.random.default_rng(seed)
+        n = params.n
+        self.secret = SecretKey(
+            small=self.rng.integers(-1, 2, size=n, dtype=np.int8), params=params
+        )
+        self._public: Optional[PublicKey] = None
+
+    def _gaussian(self, shape) -> np.ndarray:
+        sig = self.params.sigma
+        bound = int(MAX_ERROR_MULT * sig)
+        e = np.rint(self.rng.normal(0.0, sig, size=shape)).astype(np.int64)
+        return np.clip(e, -bound, bound)
+
+    def _uniform_rns(self, shape_prefix) -> np.ndarray:
+        """Uniform element(s) of R_q in RNS NTT-agnostic (coeff) domain."""
+        cols = []
+        for p in self.params.q_primes:
+            cols.append(
+                self.rng.integers(0, int(p), size=shape_prefix + (self.params.n,), dtype=np.uint64).astype(np.uint32)
+            )
+        return np.stack(cols, axis=-2)
+
+    def public_key(self) -> PublicKey:
+        """pk = (-(a*s + e), a), computed in NTT domain."""
+        if self._public is not None:
+            return self._public
+        par = self.params
+        t = par.tables_q
+        p = t.p.astype(np.uint64).reshape(-1, 1)
+        a = self._uniform_rns(())  # [L, n] coeff domain
+        a_ntt = ntt.np_ntt(a, t)
+        s_ntt = self.secret.ntt_power(1)
+        as_ntt = (a_ntt.astype(np.uint64) * s_ntt.astype(np.uint64) % p).astype(
+            np.uint32
+        )
+        as_coeff = ntt.np_intt(as_ntt, t)
+        e = _rns_lift_signed(self._gaussian((par.n,)), par.q_primes)
+        pk0 = (p - (as_coeff.astype(np.uint64) + e.astype(np.uint64)) % p) % p
+        self._public = PublicKey(
+            data=np.stack([pk0.astype(np.uint32), a]), params=par
+        )
+        return self._public
+
+    def relin_keys(self, max_power: int = 2, digit_bits: Optional[int] = None) -> RelinKeys:
+        """Evaluation keys for s^2..s^max_power.
+
+        Decomposition: per RNS limb i, optionally split into ceil(bits(p_i)/
+        digit_bits) sub-digits of 2^digit_bits.  digit_bits=None means one
+        digit per limb (the common RNS keyswitch).  The reference parses a
+        ``--dbc`` flag but never builds evaluation keys (SURVEY.md 2.4); we
+        make relinearization real.
+        """
+        par = self.params
+        t = par.tables_q
+        L, n = par.L, par.n
+        p = t.p.astype(np.uint64).reshape(-1, 1)
+        s_ntt = self.secret.ntt_power(1)
+        keys = {}
+        # digit factors: for limb i, w_i = qhat_i * qhat_inv_i (the CRT
+        # basis element that is 1 mod p_i, 0 elsewhere)
+        consts = par.consts
+        for k in range(2, max_power + 1):
+            sk_ntt = self.secret.ntt_power(k)
+            digs = []
+            for i in range(L):
+                # key pair for digit i: (-(a s + e) + w_i * s^k, a) in NTT
+                a = self._uniform_rns(())
+                a_ntt = ntt.np_ntt(a, t)
+                e_ntt = ntt.np_ntt(_rns_lift_signed(self._gaussian((n,)), par.q_primes), t)
+                b = (
+                    p
+                    - (
+                        a_ntt.astype(np.uint64) * s_ntt.astype(np.uint64) % p
+                        + e_ntt.astype(np.uint64)
+                    )
+                    % p
+                ) % p
+                # add w_i * s^k: w_i is 1 mod p_i, 0 mod p_j (j != i)
+                b[i] = (b[i] + sk_ntt[i].astype(np.uint64)) % p[i]
+                digs.append(np.stack([b.astype(np.uint32), a_ntt]))
+            keys[k] = np.stack(digs)  # [L, 2, L, n]
+        return RelinKeys(keys=keys, digit_bits=digit_bits or 0, params=par)
+
+
+class Encryptor:
+    def __init__(self, params: BfvParams, public_key: PublicKey, seed: Optional[int] = None):
+        self.params = params
+        self.pk_ntt = public_key.ntt()
+        self.rng = np.random.default_rng(seed)
+
+    def encrypt_batch(self, coeffs_mod_t: np.ndarray, chunk: int = 512) -> np.ndarray:
+        """Encrypt plaintext coeff arrays [B, n] (mod t) -> uint32 [B, 2, L, n].
+
+        ct = (pk0*u + e0 + Delta*m~, pk1*u + e1) with fresh ternary u and
+        gaussian e per ciphertext; all polynomial products via batched NTT.
+        """
+        par = self.params
+        t = par.tables_q
+        B = coeffs_mod_t.shape[0]
+        p = t.p.astype(np.uint64).reshape(-1, 1)
+        consts = par.consts
+        out = np.empty((B, 2, par.L, par.n), dtype=np.uint32)
+        sig = par.sigma
+        bound = int(MAX_ERROR_MULT * sig)
+        for lo in range(0, B, chunk):
+            hi = min(lo + chunk, B)
+            nb = hi - lo
+            u = self.rng.integers(-1, 2, size=(nb, par.n), dtype=np.int8)
+            u_ntt = ntt.np_ntt(_rns_lift_signed(u.astype(np.int64), par.q_primes), t)
+            # [nb, 2, L, n] = pk_ntt[None] * u_ntt[:, None]
+            prod = (
+                self.pk_ntt[None].astype(np.uint64)
+                * u_ntt[:, None].astype(np.uint64)
+                % p
+            ).astype(np.uint32)
+            ct = ntt.np_intt(prod, t).astype(np.uint64)
+            e = np.clip(
+                np.rint(self.rng.normal(0.0, sig, size=(nb, 2, par.n))), -bound, bound
+            ).astype(np.int64)
+            ct = (ct + _rns_lift_signed(e, par.q_primes).astype(np.uint64)) % p
+            dm = centered_lift_plain(coeffs_mod_t[lo:hi], par).astype(np.uint64)
+            dm = dm * consts.delta_mod_q.astype(np.uint64) % p
+            ct[:, 0] = (ct[:, 0] + dm) % p
+            out[lo:hi] = ct.astype(np.uint32)
+        return out
+
+    def encrypt(self, plain: Plaintext) -> np.ndarray:
+        return self.encrypt_batch(plain.coeffs[None])[0]
+
+
+class Decryptor:
+    def __init__(self, params: BfvParams, secret_key: SecretKey):
+        self.params = params
+        self.sk = secret_key
+
+    def _dot_secret(self, cts: np.ndarray) -> np.ndarray:
+        """x = sum_j ct_j s^j mod q for ct [..., size, L, n] -> [..., L, n]."""
+        par = self.params
+        t = par.tables_q
+        p = t.p.astype(np.uint64).reshape(-1, 1)
+        size = cts.shape[-3]
+        acc = ntt.np_ntt(np.ascontiguousarray(cts[..., 0, :, :]), t).astype(np.uint64)
+        for j in range(1, size):
+            cj = ntt.np_ntt(np.ascontiguousarray(cts[..., j, :, :]), t).astype(np.uint64)
+            acc = (acc + cj * self.sk.ntt_power(j).astype(np.uint64) % p) % p
+        return ntt.np_intt(acc.astype(np.uint32), t)
+
+    def decrypt_batch(self, cts: np.ndarray) -> np.ndarray:
+        """uint32 [B, size, L, n] -> plaintext coeffs int64 [B, n] in [0,t).
+
+        m = round(t * x / q) mod t computed limb-wise:
+        z_i = x_i * qhat_i^-1 mod p_i;  t*x/q == sum_i z_i * t / p_i (mod t),
+        summed in float64 with an exact big-int fallback for coefficients
+        whose fractional part lands within 1e-6 of 0.5.
+        """
+        par = self.params
+        consts = par.consts
+        x = self._dot_secret(cts)  # [B, L, n]
+        z = (
+            x.astype(np.uint64)
+            * consts.qhat_inv_mod_q.astype(np.uint64)
+            % consts.qp.astype(np.uint64).reshape(-1, 1)
+        )
+        w = z * np.uint64(par.t)  # < 2^47
+        v = (w.astype(np.float64) / np.asarray(
+            [float(p) for p in par.q_primes], dtype=np.float64
+        ).reshape(-1, 1)).sum(axis=-2)
+        m = np.floor(v + 0.5)
+        frac = v - np.floor(v)
+        risky = np.abs(frac - 0.5) < 1e-6
+        if risky.any():
+            q = par.q
+            for idx in np.argwhere(risky):
+                b, c = (int(idx[0]), int(idx[1])) if x.ndim == 3 else (0, int(idx[0]))
+                xi = _crt_reconstruct(x[b, :, c] if x.ndim == 3 else x[:, c], par)
+                num = par.t * xi
+                m_val = (num + q // 2) // q  # round half up
+                m[(b, c) if x.ndim == 3 else (c,)] = float(m_val % par.t)
+        return np.mod(m.astype(np.int64), par.t)
+
+    def decrypt(self, ct: np.ndarray) -> Plaintext:
+        return Plaintext(self.decrypt_batch(ct[None])[0], self.params.t)
+
+    def invariant_noise_budget(self, ct: np.ndarray) -> int:
+        """SEAL-style noise budget: floor(log2(q / (2*||t*x mod q||_c))).
+
+        Exact via CRT big-int reconstruction (host-side, for validation and
+        the runtime noise check; see SURVEY.md section 5 failure detection).
+        """
+        par = self.params
+        x = self._dot_secret(ct[None])[0]  # [L, n]
+        p = par.consts.qp.astype(np.uint64).reshape(-1, 1)
+        tx = x.astype(np.uint64) * par.consts.t_mod_q.astype(np.uint64) % p
+        q = par.q
+        max_norm = 0
+        for c in range(par.n):
+            val = _crt_reconstruct(tx[:, c], par)
+            if val > q // 2:
+                val = q - val
+            if val > max_norm:
+                max_norm = val
+        if max_norm == 0:
+            return q.bit_length() - 1
+        budget = q.bit_length() - 1 - (2 * max_norm).bit_length() + 1
+        return max(budget, 0)
+
+
+def _crt_reconstruct(limbs: np.ndarray, par: BfvParams) -> int:
+    """Exact big-int CRT of one coefficient from its q-base limbs."""
+    consts = par.consts
+    q = par.q
+    acc = 0
+    for i, pi in enumerate(par.q_primes):
+        zi = int(limbs[i]) * int(consts.qhat_inv_mod_q[i, 0]) % int(pi)
+        acc += zi * consts.qhat[i]
+    return acc % q

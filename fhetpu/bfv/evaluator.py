@@ -1,0 +1,170 @@
+"""Device-side BFV evaluator: jitted functional ops over ciphertext arrays.
+
+TPU-native analog of SEAL 2.3's Evaluator (SURVEY.md C1): every op is a pure
+function over batched RNS ciphertext arrays ``uint32[..., size, L, n]``,
+trace-compatible with jax.jit/shard_map.  The linear image pipelines (YCC,
+DCT, quantize -- reference fhe_image.h:192-325) run entirely in the NTT
+(evaluation) domain, so their hot loop is pure elementwise modular
+arithmetic with **no NTT at all**: add/sub are lazy-free modular adds, and
+multiply_plain is a Shoup pointwise multiply by the cached NTT of the
+encoded constant.
+
+Ciphertext-by-ciphertext multiplication (needed by the resize/decode
+pipelines, fhe_resize.h:174-183, fhe_decode.h:59-110) lives in rns.py
+(BEHZ algorithm) and is re-exported here.
+
+A ``Ct`` is a thin pytree: (data, ntt_form flag as python bool static).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import modops, ntt
+from .encoder import FractionalEncoder, Plaintext
+from .params import BfvParams
+from .crypto import centered_lift_plain
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Ct:
+    """Batched ciphertext: data uint32[..., size, L, n]; ntt_form static."""
+
+    data: jnp.ndarray
+    ntt_form: bool = False
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[-3]
+
+    def tree_flatten(self):
+        return (self.data,), (self.ntt_form,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+class PlainOperand:
+    """A plaintext constant prepared for device ops against NTT-form cts.
+
+    mul_*: NTT(centered_lift(m)) with Shoup companions -- for multiply_plain.
+    add_*: NTT(Delta * centered_lift(m)) -- for add_plain/sub_plain.
+    """
+
+    def __init__(self, params: BfvParams, coeffs_mod_t: np.ndarray):
+        t = params.tables_q
+        consts = params.consts
+        p64 = t.p.astype(np.uint64)
+        lifted = centered_lift_plain(coeffs_mod_t, params)  # [L, n]
+        m_ntt = ntt.np_ntt(lifted, t)
+        self.mul_ntt = jnp.asarray(m_ntt)
+        self.mul_ntt_shoup = jnp.asarray(modops.shoup(m_ntt, p64))
+        dm = (
+            lifted.astype(np.uint64) * consts.delta_mod_q.astype(np.uint64) % p64
+        ).astype(np.uint32)
+        dm_ntt = ntt.np_ntt(dm, t)
+        self.add_ntt = jnp.asarray(dm_ntt)
+        self.add_coeff = jnp.asarray(dm)
+
+
+class Evaluator:
+    """Holds per-params device constants; all methods are pure & jittable."""
+
+    def __init__(self, params: BfvParams, encoder: Optional[FractionalEncoder] = None):
+        self.params = params
+        self.encoder = encoder or FractionalEncoder(params.t, params.n)
+        c = params.consts
+        self.p = jnp.asarray(c.qp)  # [L,1]
+        self.mu = jnp.asarray(c.qmu)
+        self.shift = jnp.asarray(c.qshift)
+        self.tables_q = params.tables_q
+        self._plain_cache: dict = {}
+
+    # ----- plaintext operand preparation (host, cached) ------------------
+
+    def encode(self, value: float) -> PlainOperand:
+        key = float(value)
+        if key not in self._plain_cache:
+            self._plain_cache[key] = PlainOperand(
+                self.params, self.encoder.encode(value).coeffs
+            )
+        return self._plain_cache[key]
+
+    def operand(self, plain: Plaintext) -> PlainOperand:
+        return PlainOperand(self.params, plain.coeffs)
+
+    # ----- domain transforms ---------------------------------------------
+
+    def transform_to_ntt(self, ct: Ct) -> Ct:
+        if ct.ntt_form:
+            return ct
+        return Ct(ntt.ntt(ct.data, self.tables_q), True)
+
+    def transform_from_ntt(self, ct: Ct) -> Ct:
+        if not ct.ntt_form:
+            return ct
+        return Ct(ntt.intt(ct.data, self.tables_q), False)
+
+    # ----- linear ops (domain-agnostic elementwise) ----------------------
+
+    def _align(self, a: Ct, b: Ct):
+        assert a.ntt_form == b.ntt_form, "mixed-domain ct/ct op"
+        sa, sb = a.size, b.size
+        if sa == sb:
+            return a.data, b.data
+        size = max(sa, sb)
+        pad = lambda d, s: jnp.concatenate(
+            [d, jnp.zeros(d.shape[:-3] + (size - s,) + d.shape[-2:], d.dtype)],
+            axis=-3,
+        ) if s < size else d
+        return pad(a.data, sa), pad(b.data, sb)
+
+    def add(self, a: Ct, b: Ct) -> Ct:
+        da, db = self._align(a, b)
+        return Ct(modops.addmod(da, db, self.p), a.ntt_form)
+
+    def sub(self, a: Ct, b: Ct) -> Ct:
+        da, db = self._align(a, b)
+        return Ct(modops.submod(da, db, self.p), a.ntt_form)
+
+    def negate(self, a: Ct) -> Ct:
+        return Ct(modops.negmod(a.data, self.p), a.ntt_form)
+
+    def add_plain(self, a: Ct, op: PlainOperand) -> Ct:
+        dm = op.add_ntt if a.ntt_form else op.add_coeff
+        c0 = modops.addmod(a.data[..., 0, :, :], dm, self.p)
+        return Ct(a.data.at[..., 0, :, :].set(c0), a.ntt_form)
+
+    def sub_plain(self, a: Ct, op: PlainOperand) -> Ct:
+        dm = op.add_ntt if a.ntt_form else op.add_coeff
+        c0 = modops.submod(a.data[..., 0, :, :], dm, self.p)
+        return Ct(a.data.at[..., 0, :, :].set(c0), a.ntt_form)
+
+    def multiply_plain(self, a: Ct, op: PlainOperand) -> Ct:
+        """Pointwise product with the cached NTT of the constant (requires
+        NTT form -- the pipelines keep everything there)."""
+        assert a.ntt_form, "multiply_plain expects NTT-form ciphertexts"
+        return Ct(
+            modops.mulmod_shoup(a.data, op.mul_ntt, op.mul_ntt_shoup, self.p),
+            True,
+        )
+
+    # linear-combination fusion helper for pipeline graphs
+    def lincomb(self, terms) -> Ct:
+        """sum_i ct_i * const_i (consts pre-encoded PlainOperands or None
+        for unit coefficient); all cts NTT-form, same size."""
+        acc = None
+        for ct, op in terms:
+            term = ct.data if op is None else modops.mulmod_shoup(
+                ct.data, op.mul_ntt, op.mul_ntt_shoup, self.p
+            )
+            acc = term if acc is None else modops.addmod(acc, term, self.p)
+        return Ct(acc, True)

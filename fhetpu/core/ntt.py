@@ -1,0 +1,203 @@
+"""Negacyclic number-theoretic transform over RNS limbs (device + host).
+
+Replaces the role of SEAL 2.3's polynomial arithmetic backend (SURVEY.md C1):
+polynomial multiplication in Z_p[x]/(x^n+1) becomes pointwise products in the
+NTT (evaluation) domain.  We use the Harvey/Longa-Naehrig formulation with the
+2n-th root psi folded into the twiddle tables:
+
+* forward: Cooley-Tukey butterflies, natural order in -> bit-reversed out;
+* inverse: Gentleman-Sande, bit-reversed in -> natural out, with the final
+  n^-1 scaling applied as a Shoup constant multiply.
+
+Pointwise multiplication between two forward-transformed polynomials yields
+the negacyclic convolution; no explicit bit-reversal permutation is ever
+materialized.  The device implementation is a Python-unrolled loop of
+log2(n) vectorized butterfly stages over arrays shaped ``[..., L, n]``; XLA
+fuses each stage into a couple of elementwise kernels.  The host (NumPy)
+implementation mirrors it for client-side encrypt/decrypt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import modops
+
+
+def _bit_reverse(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _find_primitive_2n_root(p: int, n: int) -> int:
+    """Smallest-order-compliant psi with psi^n == -1 mod p (deterministic)."""
+    order = 2 * n
+    assert (p - 1) % order == 0
+    exp = (p - 1) // order
+    g = 2
+    while True:
+        psi = pow(g, exp, p)
+        if pow(psi, n, p) == p - 1:
+            return psi
+        g += 1
+
+
+class NttTables:
+    """Per-(base, n) twiddle tables, stacked over limbs: arrays [L, n]."""
+
+    def __init__(self, primes, n: int):
+        self.primes = tuple(int(p) for p in primes)
+        self.n = n
+        logn = n.bit_length() - 1
+        assert 1 << logn == n
+        L = len(self.primes)
+        psi_br = np.zeros((L, n), dtype=np.uint32)
+        ipsi_br = np.zeros((L, n), dtype=np.uint32)
+        n_inv = np.zeros((L, 1), dtype=np.uint32)
+        for li, p in enumerate(self.primes):
+            psi = _find_primitive_2n_root(p, n)
+            ipsi = pow(psi, p - 2, p)
+            pw, ipw = 1, 1
+            psis = np.zeros(n, dtype=np.uint64)
+            ipsis = np.zeros(n, dtype=np.uint64)
+            for i in range(n):
+                psis[i] = pw
+                ipsis[i] = ipw
+                pw = pw * psi % p
+                ipw = ipw * ipsi % p
+            for i in range(n):
+                j = _bit_reverse(i, logn)
+                psi_br[li, i] = psis[j]
+                ipsi_br[li, i] = ipsis[j]
+            n_inv[li, 0] = pow(n, p - 2, p)
+        p_arr, mu, shift = modops.barrett_params(self.primes)
+        self.p = p_arr  # [L,1] uint32
+        self.mu = mu
+        self.shift = shift
+        self.psi_br = psi_br
+        self.psi_br_shoup = modops.shoup(psi_br, p_arr.astype(np.uint64))
+        self.ipsi_br = ipsi_br
+        self.ipsi_br_shoup = modops.shoup(ipsi_br, p_arr.astype(np.uint64))
+        self.n_inv = n_inv
+        self.n_inv_shoup = modops.shoup(n_inv, p_arr.astype(np.uint64))
+        self.logn = logn
+
+
+@functools.lru_cache(maxsize=None)
+def get_tables(primes: tuple, n: int) -> NttTables:
+    return NttTables(primes, n)
+
+
+def _fwd_stage(xp, a, w, ws, p):
+    """One CT stage: a [..., L, m, 2, t]; w, ws [L, m, 1]."""
+    u = a[..., 0, :]
+    v = xp_mulmod_shoup(xp, a[..., 1, :], w, ws, p)
+    return xp.stack((_addmod(xp, u, v, p), _submod(xp, u, v, p)), axis=-2)
+
+
+def xp_mulmod_shoup(xp, x, w, ws, p):
+    if xp is jnp:
+        return modops.mulmod_shoup(x, w, ws, p)
+    q = (x.astype(np.uint64) * ws.astype(np.uint64)) >> np.uint64(32)
+    r = (x.astype(np.uint64) * w.astype(np.uint64) - q * p.astype(np.uint64)) & np.uint64(
+        0xFFFFFFFF
+    )
+    r = np.where(r >= p, r - p, r)
+    return r.astype(np.uint32)
+
+
+def _addmod(xp, a, b, p):
+    r = a + b
+    return xp.where(r >= p, r - p, r)
+
+
+def _submod(xp, a, b, p):
+    r = a + p - b
+    return xp.where(r >= p, r - p, r)
+
+
+def _ntt_impl(xp, x, tables: NttTables):
+    """Forward negacyclic NTT over the last axis of x [..., L, n]."""
+    n, L = tables.n, len(tables.primes)
+    psi = xp.asarray(tables.psi_br)
+    psi_s = xp.asarray(tables.psi_br_shoup)
+    p_col = xp.asarray(tables.p)  # [L,1]
+    a = x
+    m, t = 1, n
+    for _ in range(tables.logn):
+        t //= 2
+        a = a.reshape(a.shape[:-1] + (m, 2, t))
+        w = psi[:, m : 2 * m].reshape(L, m, 1)
+        ws = psi_s[:, m : 2 * m].reshape(L, m, 1)
+        p = p_col.reshape(L, 1, 1)
+        a = _fwd_stage(xp, a, w, ws, p)
+        a = a.reshape(a.shape[:-3] + (2 * m * t,))
+        m *= 2
+    return a
+
+
+def _intt_impl(xp, x, tables: NttTables):
+    """Inverse negacyclic NTT over the last axis of x [..., L, n]."""
+    n, L = tables.n, len(tables.primes)
+    ipsi = xp.asarray(tables.ipsi_br)
+    ipsi_s = xp.asarray(tables.ipsi_br_shoup)
+    p_col = xp.asarray(tables.p)
+    a = x
+    t, m = 1, n
+    while m > 1:
+        h = m // 2
+        a = a.reshape(a.shape[:-1] + (h, 2, t))
+        w = ipsi[:, h : 2 * h].reshape(L, h, 1)
+        ws = ipsi_s[:, h : 2 * h].reshape(L, h, 1)
+        p = p_col.reshape(L, 1, 1)
+        u = a[..., 0, :]
+        v = a[..., 1, :]
+        lo = _addmod(xp, u, v, p)
+        hi = xp_mulmod_shoup(xp, _submod(xp, u, v, p), w, ws, p)
+        a = xp.stack((lo, hi), axis=-2)
+        a = a.reshape(a.shape[:-3] + (2 * h * t,))
+        t *= 2
+        m = h
+    ninv = xp.asarray(tables.n_inv)
+    ninv_s = xp.asarray(tables.n_inv_shoup)
+    return xp_mulmod_shoup(xp, a, ninv, ninv_s, p_col)
+
+
+def ntt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
+    """Device forward NTT, batched over leading axes of [..., L, n]."""
+    return _ntt_impl(jnp, x, tables)
+
+
+def intt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
+    return _intt_impl(jnp, x, tables)
+
+
+def np_ntt(x: np.ndarray, tables: NttTables) -> np.ndarray:
+    """Host forward NTT (NumPy, uint64 intermediates)."""
+    return _ntt_impl(np, np.ascontiguousarray(x, dtype=np.uint32), tables)
+
+
+def np_intt(x: np.ndarray, tables: NttTables) -> np.ndarray:
+    return _intt_impl(np, np.ascontiguousarray(x, dtype=np.uint32), tables)
+
+
+def negacyclic_convolve_naive(a, b, p: int) -> np.ndarray:
+    """O(n^2) golden model: (a*b) mod (x^n+1, p), exact Python ints."""
+    n = len(a)
+    out = [0] * n
+    for i, ai in enumerate(int(v) for v in a):
+        if ai == 0:
+            continue
+        for j, bj in enumerate(int(v) for v in b):
+            k = i + j
+            if k < n:
+                out[k] = (out[k] + ai * bj) % p
+            else:
+                out[k - n] = (out[k - n] - ai * bj) % p
+    return np.array(out, dtype=np.uint32)
