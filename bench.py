@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: encrypted 8x8 blocks/s/chip for the homomorphic
+RGB->YCC + DCT JPEG-encode pipeline (the reference's hot loop,
+server_jpeg.cpp:127-135).
+
+Baseline (BASELINE.md): single-core SEAL 2.3 DCT at n=4096 ~= 5.0
+encrypted block-channels/s => ~1.667 full RGB blocks/s including YCC.
+We report full-pipeline (YCC + 3xDCT) blocks/s on one chip and compare
+against the DCT-only single-channel baseline the driver tracks
+(blocks/s/chip vs 5.0), i.e. vs_baseline = channel-blocks-per-sec / 5.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = os.environ.get("FHETPU_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    from fhetpu.bfv.encoder import FractionalEncoder
+    from fhetpu.bfv.evaluator import Evaluator
+    from fhetpu.bfv.params import BfvParams
+    from fhetpu.pipelines.jpeg_encode import make_server
+
+    n = int(os.environ.get("FHETPU_BENCH_N", 4096))
+    nb = int(os.environ.get("FHETPU_BENCH_BLOCKS", 16))
+    iters = int(os.environ.get("FHETPU_BENCH_ITERS", 10))
+
+    par = BfvParams.create(n=n, t=1 << 14)
+    encoder = FractionalEncoder(par.t, par.n)
+    ev = Evaluator(par, encoder)
+    server = make_server(ev)
+
+    rng = np.random.default_rng(0)
+    shape = (nb, 3, 64, 2, par.L, par.n)
+    # random well-formed RNS data (values < p_i per limb): timing-equivalent
+    # to real ciphertexts for the modular-arithmetic pipeline
+    limbs = []
+    for p in par.q_primes:
+        limbs.append(rng.integers(0, int(p), size=shape[:-2] + (par.n,), dtype=np.uint64))
+    cts = np.stack(limbs, axis=-2).astype(np.uint32)
+
+    x = jnp.asarray(cts)
+    # compile + warmup; then chain iterations on-device (the op is
+    # shape-preserving and donates its input) so we measure chip compute,
+    # not host->device transfer
+    x = server(x)
+    x.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = server(x)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    blocks_per_s = nb * iters / dt
+    channel_blocks_per_s = blocks_per_s * 3  # baseline unit: per channel-block
+    vs = channel_blocks_per_s / 5.0
+    print(
+        json.dumps(
+            {
+                "metric": "encrypted 8x8 channel-blocks/s/chip (FHE YCC+DCT, n=%d)" % n,
+                "value": round(channel_blocks_per_s, 2),
+                "unit": "channel-blocks/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

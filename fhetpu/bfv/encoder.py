@@ -116,13 +116,19 @@ class FractionalEncoder:
         return Plaintext(np.mod(coeffs, self.t), self.t)
 
     def decode(self, plain: Plaintext) -> float:
-        """Balanced interpretation; exponents >= n - n_frac are fractional."""
+        """Balanced interpretation over the encoder's two ring sections:
+        integer part = low n_number_coeffs exponents, fraction = top
+        n_fractional_coeffs (negated).  Coefficients BETWEEN the sections are
+        ignored -- that is where multiplication truncation-tails land (e.g.
+        products of two 100-digit fractions have digits at exponents
+        n-101..n-200 worth < base^-100), matching SEAL 2.3's sectioned
+        FractionalEncoder semantics."""
         assert plain.t == self.t and plain.n == self.n
         bal = plain.balanced()
         b = float(self.base)
         value = 0.0
-        # integer region (low exponents, descending so magnitudes add stably)
-        for k in range(self.n - self.n_frac - 1, -1, -1):
+        # integer section (descending so magnitudes add stably)
+        for k in range(self.n_int - 1, -1, -1):
             if bal[k]:
                 value += float(bal[k]) * (b ** k)
         for i in range(1, self.n_frac + 1):
@@ -167,18 +173,16 @@ class FractionalEncoder:
         return np.mod(out, self.t).reshape(values.shape + (self.n,))
 
     def decode_batch(self, coeffs: np.ndarray) -> np.ndarray:
-        """Decode [..., n] coeff arrays mod t -> float64 [...]. Vectorized."""
+        """Decode [..., n] coeff arrays mod t -> float64 [...]. Vectorized.
+        Sectioned like ``decode``: low n_int exponents + top n_frac only."""
         thr = (self.t + 1) // 2
         c = coeffs.astype(np.int64)
         bal = np.where(c >= thr, c - self.t, c).astype(np.float64)
         b = float(self.base)
-        n_int_region = self.n - self.n_frac
-        # saturate powers beyond float64 range (base-2: exponent >= 1024);
-        # nonzero coefficients there only occur on garbage decodes, which
-        # then saturate to huge finite values exactly like C++ double math
-        exps = np.minimum(np.arange(n_int_region, dtype=np.float64), 1000.0)
+        # saturate powers beyond float64 range (relevant only for huge bases)
+        exps = np.minimum(np.arange(self.n_int, dtype=np.float64), 1000.0)
         pow_int = b ** exps
-        ints = bal[..., :n_int_region] @ pow_int
+        ints = bal[..., : self.n_int] @ pow_int
         pow_frac = b ** (-np.arange(1, self.n_frac + 1, dtype=np.float64))
         fracs = bal[..., : self.n - self.n_frac - 1 : -1] @ pow_frac
         return ints - fracs

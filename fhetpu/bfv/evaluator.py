@@ -75,6 +75,13 @@ class PlainOperand:
         self.add_coeff = jnp.asarray(dm)
 
 
+class DeviceRelinKeys:
+    """jnp copy of host RelinKeys (keys already in NTT domain)."""
+
+    def __init__(self, host_rk):
+        self.keys = {k: jnp.asarray(v) for k, v in host_rk.keys.items()}
+
+
 class Evaluator:
     """Holds per-params device constants; all methods are pure & jittable."""
 
@@ -156,6 +163,66 @@ class Evaluator:
             modops.mulmod_shoup(a.data, op.mul_ntt, op.mul_ntt_shoup, self.p),
             True,
         )
+
+    # ----- ciphertext-by-ciphertext multiplication (BEHZ) -----------------
+
+    @property
+    def _rns_tool(self):
+        from . import rns
+
+        if not hasattr(self, "_rns_tool_inst"):
+            self._rns_tool_inst = rns.RnsTool(self.params)
+        return self._rns_tool_inst
+
+    def multiply(self, a: Ct, b: Ct) -> Ct:
+        """FV multiply; sizes compose (k1, k2) -> k1+k2-1; coeff-form result.
+
+        Matches SEAL 2.3 Evaluator::multiply semantics incl. unrelinearized
+        size growth (the reference's Cubic builds size-5 cts, SURVEY.md C9).
+        """
+        from . import rns
+
+        da = self.transform_from_ntt(a).data
+        db = self.transform_from_ntt(b).data
+        return Ct(rns.multiply(da, db, self.params, self._rns_tool), False)
+
+    def square(self, a: Ct) -> Ct:
+        return self.multiply(a, a)
+
+    def relinearize(self, a: Ct, rk) -> Ct:
+        """Key-switch every component of degree >= 2 down to (c0, c1).
+
+        rk: DeviceRelinKeys.  Per-RNS-limb digit decomposition: digit i of a
+        degree-k component is its limb-i polynomial reduced into every limb,
+        multiplied in NTT domain against the key pair encrypting w_i * s^k.
+        """
+        size = a.size
+        if size <= 2:
+            return a
+        da = self.transform_from_ntt(a).data
+        L = self.params.L
+        c0 = da[..., 0, :, :]
+        c1 = da[..., 1, :, :]
+        acc0 = acc1 = None
+        for k in range(2, size):
+            ck = da[..., k, :, :]  # [..., L, n]
+            key = rk.keys[k]  # [L, 2, L, n] NTT domain
+            for i in range(L):
+                # digit poly: limb i of ck, reduced into all L limbs
+                d = ck[..., i, :][..., None, :]  # [..., 1, n], values < p_i
+                d_all = modops.mulmod(
+                    d, jnp.uint32(1), self.p, self.mu, self.shift
+                )  # broadcast-reduce into [..., L, n]
+                d_ntt = ntt.ntt(d_all, self.tables_q)
+                t0 = modops.mulmod(d_ntt, key[i, 0], self.p, self.mu, self.shift)
+                t1 = modops.mulmod(d_ntt, key[i, 1], self.p, self.mu, self.shift)
+                acc0 = t0 if acc0 is None else modops.addmod(acc0, t0, self.p)
+                acc1 = t1 if acc1 is None else modops.addmod(acc1, t1, self.p)
+        acc0 = ntt.intt(acc0, self.tables_q)
+        acc1 = ntt.intt(acc1, self.tables_q)
+        c0 = modops.addmod(c0, acc0, self.p)
+        c1 = modops.addmod(c1, acc1, self.p)
+        return Ct(jnp.stack([c0, c1], axis=-3), False)
 
     # linear-combination fusion helper for pipeline graphs
     def lincomb(self, terms) -> Ct:

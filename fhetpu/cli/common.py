@@ -1,0 +1,114 @@
+"""Shared CLI plumbing for the client/server drivers.
+
+Mirrors the reference's cxxopts flag surface (client_jpeg.cpp:31-44):
+-r/--recieve -s/--send -v/--verbose -f/--file -c/--coutfile -i/--cinfile
+-o/--outfile --ncoeff --fcoeff --cmod --pmod --base (+ pipeline extras), and
+fixes the reference's bug where --base was parsed under the wrong key
+(client_jpeg.cpp:66) -- here --base actually works.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from ..bfv.encoder import FractionalEncoder
+from ..bfv.params import (
+    DEFAULT_DBC,
+    DEFAULT_PLAIN_MODULUS,
+    DEFAULT_POLY_DEGREE,
+    BfvParams,
+)
+
+N_NUMBER_COEFFS = 100  # fhe_image.h:24
+N_FRACTIONAL_COEFFS = 100  # fhe_image.h:23
+POLY_BASE = 2  # fhe_image.h:22
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("-r", "--recieve", action="store_true",
+                   help="client is decrypting results")
+    p.add_argument("-s", "--send", action="store_true",
+                   help="client is encrypting the raw image")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-f", "--file", default="./image/test.jpg",
+                   help="input image filename")
+    p.add_argument("-c", "--coutfile", default="./image/nothingpersonnel.txt",
+                   help="ciphertext output stream")
+    p.add_argument("-i", "--cinfile", default="./image/zoop.txt",
+                   help="ciphertext input stream")
+    p.add_argument("-o", "--outfile", default="./image/test_out.jpg",
+                   help="result image filename")
+    p.add_argument("--ncoeff", type=int, default=N_NUMBER_COEFFS)
+    p.add_argument("--fcoeff", type=int, default=N_FRACTIONAL_COEFFS)
+    p.add_argument("--cmod", type=int, default=DEFAULT_POLY_DEGREE,
+                   help="polynomial ring degree n (reference's misnamed flag)")
+    p.add_argument("--pmod", type=int, default=DEFAULT_PLAIN_MODULUS,
+                   help="plaintext modulus t")
+    p.add_argument("--base", type=int, default=POLY_BASE,
+                   help="fractional encoding base")
+    p.add_argument("--keydir", default="./keys", help="key/params directory")
+    p.add_argument("--platform", default=os.environ.get("FHETPU_PLATFORM", ""),
+                   help="jax platform override (cpu/tpu/axon); empty = default")
+    p.add_argument("--chunk-blocks", type=int, default=64,
+                   help="blocks per device dispatch (streaming window)")
+    return p
+
+
+def setup_platform(args):
+    """Apply platform override before first jax device use."""
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def make_params(args) -> BfvParams:
+    return BfvParams.create(n=args.cmod, t=args.pmod)
+
+
+def make_encoder(args) -> FractionalEncoder:
+    return FractionalEncoder(
+        args.pmod, args.cmod, args.ncoeff, args.fcoeff, args.base
+    )
+
+
+class OpTimer:
+    """Per-op CSV timing in the reference's stdout schema (SURVEY.md 3.5):
+    prints 'Label,ms,ms,...,' rows consumed by bench/analyze.py.  Each
+    sample is normalized per unit of work (e.g. per coefficient) so the
+    values are comparable with the reference's per-op numbers."""
+
+    def __init__(self, label: str, per_unit: int = 1):
+        self.label = label
+        self.per_unit = per_unit
+        self.samples = []
+
+    def span(self, units: int = None):
+        return _Span(self, units if units is not None else self.per_unit)
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        ms = (time.perf_counter() - self._t0) * 1000.0 / max(self.per_unit, 1)
+        self.samples.append(ms)
+
+    def emit(self):
+        print(self.label + "," + ",".join(f"{s:.6g}" for s in self.samples) + ",")
+
+
+class _Span:
+    def __init__(self, timer: OpTimer, units: int):
+        self.timer = timer
+        self.units = max(units, 1)
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        ms = (time.perf_counter() - self._t0) * 1000.0 / self.units
+        self.timer.samples.append(ms)

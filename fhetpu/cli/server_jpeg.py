@@ -1,0 +1,74 @@
+"""Server driver for the encrypted JPEG pipeline (untrusted compute side).
+
+TPU-native rebuild of homo/server_jpeg.cpp: streams ciphertext blocks from
+the client file, runs the batched homomorphic RGB->YCC + 8x8 DCT on the
+accelerator (one jitted dispatch per chunk of blocks instead of the
+reference's per-pixel SEAL loop, server_jpeg.cpp:109-136), and streams
+Y/Cb/Cr DCT coefficients back (per block: 64 Y, 64 Cb, 64 Cr).
+
+Unlike the reference -- which loads the SECRET key on the server "FOR
+DEBUGGING ONLY" (server_jpeg.cpp:97-98) -- only the public parameters are
+ever read here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .common import OpTimer, base_parser, make_encoder, make_params, setup_platform
+
+
+def main(argv=None):
+    p = base_parser("Server-side FHE JPEG (fhetpu)")
+    p.add_argument("--quantize", action="store_true",
+                   help="apply homomorphic quantization (the reference defines "
+                        "but never calls it; default off for parity)")
+    args = p.parse_args(argv)
+    setup_platform(args)
+
+    import jax.numpy as jnp
+
+    from ..bfv.evaluator import Evaluator
+    from ..codec.jpeg import ZIGZAG, build_quant_tables
+    from ..io import serial
+    from ..pipelines.jpeg_encode import make_server
+
+    par = make_params(args)
+    encoder = make_encoder(args)
+    w, h, _c, _pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
+    ev = Evaluator(par, encoder)
+    quant = None
+    if args.quantize:
+        ytab, _ = build_quant_tables(0)
+        quant = ytab[ZIGZAG].astype(np.float64)  # natural-order per-slot table
+    server = make_server(ev, apply_quantize=args.quantize, quant=quant)
+
+    reader = serial.CtReader(args.cinfile)
+    writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
+                             meta={"w": w, "h": h, "layout": "ycc-blocks"})
+    nb_total = (w // 8) * (h // 8)
+    t = OpTimer("DCT")
+    chunk = max(args.chunk_blocks, 1)
+    done = 0
+    while done < nb_total:
+        k = min(chunk, nb_total - done)
+        cts = reader.read(k * 192)
+        assert cts is not None, "ciphertext stream truncated"
+        batch = jnp.asarray(cts.reshape(k, 3, 64, 2, par.L, par.n))
+        with t.span(k * 3):
+            out = server(batch)
+            out.block_until_ready()
+        writer.append(np.asarray(out).reshape(-1, 2, par.L, par.n))
+        done += k
+        if args.verbose:
+            print(f"processed {done}/{nb_total} blocks", file=sys.stderr)
+    reader.close()
+    writer.close()
+    t.emit()
+
+
+if __name__ == "__main__":
+    main()
