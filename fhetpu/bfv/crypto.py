@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..core import ntt
+from ..core import modops, ntt
 from .encoder import Plaintext
 from .params import BfvParams, MAX_ERROR_MULT
 
@@ -196,25 +196,27 @@ class Encryptor:
         out = np.empty((B, 2, par.L, par.n), dtype=np.uint32)
         sig = par.sigma
         bound = int(MAX_ERROR_MULT * sig)
+        p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         for lo in range(0, B, chunk):
             hi = min(lo + chunk, B)
             nb = hi - lo
             u = self.rng.integers(-1, 2, size=(nb, par.n), dtype=np.int8)
             u_ntt = ntt.np_ntt(_rns_lift_signed(u.astype(np.int64), par.q_primes), t)
-            # [nb, 2, L, n] = pk_ntt[None] * u_ntt[:, None]
-            prod = (
-                self.pk_ntt[None].astype(np.uint64)
-                * u_ntt[:, None].astype(np.uint64)
-                % p
-            ).astype(np.uint32)
-            ct = ntt.np_intt(prod, t).astype(np.uint64)
+            # [nb, 2, L, n] = pk_ntt[None] * u_ntt[:, None] (native kernels)
+            prod = np.stack(
+                [ntt.np_pointwise_mulmod(u_ntt, self.pk_ntt[c], t) for c in (0, 1)],
+                axis=1,
+            )
+            ct = ntt.np_intt(prod, t)
             e = np.clip(
                 np.rint(self.rng.normal(0.0, sig, size=(nb, 2, par.n))), -bound, bound
             ).astype(np.int64)
-            ct = (ct + _rns_lift_signed(e, par.q_primes).astype(np.uint64)) % p
-            dm = centered_lift_plain(coeffs_mod_t[lo:hi], par).astype(np.uint64)
-            dm = dm * consts.delta_mod_q.astype(np.uint64) % p
-            ct[:, 0] = (ct[:, 0] + dm) % p
+            ct = modops.np_addmod_b(ct, _rns_lift_signed(e, par.q_primes), p64)
+            dm = modops.np_mulmod_b(
+                centered_lift_plain(coeffs_mod_t[lo:hi], par),
+                consts.delta_mod_q, p64, mu64, sh64,
+            )
+            ct[:, 0] = modops.np_addmod_b(ct[:, 0], dm, p64)
             out[lo:hi] = ct.astype(np.uint32)
         return out
 
@@ -231,12 +233,14 @@ class Decryptor:
         """x = sum_j ct_j s^j mod q for ct [..., size, L, n] -> [..., L, n]."""
         par = self.params
         t = par.tables_q
-        p = t.p.astype(np.uint64).reshape(-1, 1)
+        p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         size = cts.shape[-3]
         acc = ntt.np_ntt(np.ascontiguousarray(cts[..., 0, :, :]), t).astype(np.uint64)
         for j in range(1, size):
-            cj = ntt.np_ntt(np.ascontiguousarray(cts[..., j, :, :]), t).astype(np.uint64)
-            acc = (acc + cj * self.sk.ntt_power(j).astype(np.uint64) % p) % p
+            cj = ntt.np_ntt(np.ascontiguousarray(cts[..., j, :, :]), t)
+            acc = modops.np_addmod_b(
+                acc, ntt.np_pointwise_mulmod(cj, self.sk.ntt_power(j), t), p64
+            )
         return ntt.np_intt(acc.astype(np.uint32), t)
 
     def decrypt_batch(self, cts: np.ndarray) -> np.ndarray:
@@ -250,11 +254,8 @@ class Decryptor:
         par = self.params
         consts = par.consts
         x = self._dot_secret(cts)  # [B, L, n]
-        z = (
-            x.astype(np.uint64)
-            * consts.qhat_inv_mod_q.astype(np.uint64)
-            % consts.qp.astype(np.uint64).reshape(-1, 1)
-        )
+        p64, mu64, sh64 = modops.np_barrett_u64([int(q) for q in par.q_primes])
+        z = modops.np_mulmod_b(x, consts.qhat_inv_mod_q, p64, mu64, sh64)
         w = z * np.uint64(par.t)  # < 2^47
         v = (w.astype(np.float64) / np.asarray(
             [float(p) for p in par.q_primes], dtype=np.float64

@@ -65,14 +65,15 @@ class PlainOperand:
         p64 = t.p.astype(np.uint64)
         lifted = centered_lift_plain(coeffs_mod_t, params)  # [L, n]
         m_ntt = ntt.np_ntt(lifted, t)
-        self.mul_ntt = jnp.asarray(m_ntt)
-        self.mul_ntt_shoup = jnp.asarray(modops.shoup(m_ntt, p64))
+        # NB: tables stay numpy -- jnp constants created inside a jit trace
+        # become trace-local tracers, and operands are cached across traces
+        self.mul_ntt = m_ntt
+        self.mul_ntt_shoup = modops.shoup(m_ntt, p64)
         dm = (
             lifted.astype(np.uint64) * consts.delta_mod_q.astype(np.uint64) % p64
         ).astype(np.uint32)
-        dm_ntt = ntt.np_ntt(dm, t)
-        self.add_ntt = jnp.asarray(dm_ntt)
-        self.add_coeff = jnp.asarray(dm)
+        self.add_ntt = ntt.np_ntt(dm, t)
+        self.add_coeff = dm
 
 
 class DeviceRelinKeys:
@@ -156,13 +157,17 @@ class Evaluator:
         return Ct(a.data.at[..., 0, :, :].set(c0), a.ntt_form)
 
     def multiply_plain(self, a: Ct, op: PlainOperand) -> Ct:
-        """Pointwise product with the cached NTT of the constant (requires
-        NTT form -- the pipelines keep everything there)."""
-        assert a.ntt_form, "multiply_plain expects NTT-form ciphertexts"
-        return Ct(
-            modops.mulmod_shoup(a.data, op.mul_ntt, op.mul_ntt_shoup, self.p),
-            True,
-        )
+        """Pointwise product with the cached NTT of the constant.  NTT-form
+        cts multiply directly; coefficient-form cts bounce through the NTT
+        (SEAL's Evaluator::multiply_plain does the same internally)."""
+        if a.ntt_form:
+            return Ct(
+                modops.mulmod_shoup(a.data, op.mul_ntt, op.mul_ntt_shoup, self.p),
+                True,
+            )
+        d = ntt.ntt(a.data, self.tables_q)
+        d = modops.mulmod_shoup(d, op.mul_ntt, op.mul_ntt_shoup, self.p)
+        return Ct(ntt.intt(d, self.tables_q), False)
 
     # ----- ciphertext-by-ciphertext multiplication (BEHZ) -----------------
 

@@ -122,7 +122,9 @@ class RnsTool:
         self.bc = bc
         self.tables_q = par.tables_q
         self.tables_bsk = par.tables_bsk
-        j = jnp.asarray
+        # numpy (not jnp): RnsTool may be built lazily inside a jit trace,
+        # and jnp constants created there become trace-local tracers
+        j = np.asarray
         self.qp, self.qmu, self.qsh = j(bc.qp), j(bc.qmu), j(bc.qshift)
         self.bp, self.bmu, self.bsh = j(bc.bskp), j(bc.bskmu), j(bc.bskshift)
         self.m_tilde_mod_q = j(bc.m_tilde_mod_q)

@@ -1,0 +1,83 @@
+"""Server driver for encrypted resize (homo/server_resize.cpp rebuild).
+
+Streams the raster-RGB ciphertext grid from the client file and computes the
+resized output in row tiles: the reference's 2/4-row sliding window
+(fhe_resize.h:324-379) becomes a bounded source-row window per output tile,
+with each tile one batched device dispatch.  Fractional offsets are
+encrypted here under the public key (like the reference, fhe_resize.h:230)
+unless --plain-fracts selects the plaintext fast path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .common import OpTimer, base_parser, make_encoder, make_params, setup_platform
+from .client_resize import add_resize_flags
+
+
+def main(argv=None):
+    p = add_resize_flags(base_parser("Server-side FHE resize (fhetpu)"))
+    p.add_argument("--tile-rows", type=int, default=4,
+                   help="output rows per device dispatch")
+    args = p.parse_args(argv)
+    setup_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..bfv.crypto import Encryptor, PublicKey
+    from ..bfv.evaluator import Evaluator
+    from ..io import serial
+    from ..pipelines import resize as rz
+
+    par = make_params(args)
+    encoder = make_encoder(args)
+    w, h, _c, _pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
+    ev = Evaluator(par, encoder)
+    mode = rz.BICUBIC if args.bicubic else rz.BILINEAR
+    w2, h2 = args.width, args.height
+
+    encryptor = None
+    if not args.plain_fracts:
+        pk = PublicKey(
+            data=serial.load_public_key(os.path.join(args.keydir, "pubkey.npz")),
+            params=par,
+        )
+        encryptor = Encryptor(par, pk)
+
+    reader = serial.CtReader(args.cinfile)
+    src = reader.read(w * h * 3)
+    reader.close()
+    assert src is not None and src.shape[0] == w * h * 3, "stream truncated"
+    src = jnp.asarray(src.reshape(h, w, 3, 2, par.L, par.n))
+
+    row_plan = rz.axis_plan(h, h2, mode)
+    col_plan = rz.axis_plan(w, w2, mode)
+    size_out = 2 if args.plain_fracts else (4 if mode == rz.BILINEAR else 8)
+    writer = serial.CtWriter(args.coutfile, size_out, par.L, par.n,
+                             meta={"w": w2, "h": h2, "layout": "raster-rgb"})
+    label = "Cubic" if args.bicubic else "Linear"
+    interp_per_px = 20 if args.bicubic else 3
+    t = OpTimer(label)
+    tile = args.tile_rows
+    for y0 in range(0, h2, tile):
+        y1 = min(y0 + tile, h2)
+        rp = rz.AxisPlan(idx=row_plan.idx[y0:y1], fract=row_plan.fract[y0:y1])
+        yops, xops = rz.make_fract_bundles(ev, rp, col_plan, mode, encryptor=encryptor)
+        with t.span((y1 - y0) * w2 * interp_per_px):
+            out = rz.resize_tile(ev, src, rp, col_plan, yops, xops, mode,
+                                 plain=args.plain_fracts)
+            out.block_until_ready()
+        writer.append(np.asarray(out).reshape(-1, size_out, par.L, par.n))
+        if args.verbose:
+            print(f"rows {y0}..{y1} done", file=sys.stderr)
+    writer.close()
+    t.emit()
+
+
+if __name__ == "__main__":
+    main()

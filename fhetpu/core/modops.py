@@ -119,6 +119,29 @@ def negmod(a, p):
 # ---------------------------------------------------------------------------
 
 
+def np_barrett_u64(primes):
+    """Per-prime (p, mu, shift) as uint64 arrays shaped [L, 1] for
+    broadcasting against host [..., L, n] data."""
+    p, mu, sh = barrett_params(primes)
+    return (p.astype(np.uint64), mu.astype(np.uint64), sh.astype(np.uint64))
+
+
+def np_mulmod_b(a, b, p64, mu64, sh64):
+    """Vectorized host a*b mod p via Barrett -- avoids numpy's scalar u64
+    division.  a, b uint64 (or uint32) arrays with values < p < 2^30."""
+    x = a.astype(np.uint64) * b.astype(np.uint64)
+    q = ((x >> sh64) * mu64) >> np.uint64(32)
+    r = x - q * p64
+    two_p = p64 << np.uint64(1)
+    r = np.where(r >= two_p, r - two_p, r)
+    return np.where(r >= p64, r - p64, r)
+
+
+def np_addmod_b(a, b, p64):
+    r = a.astype(np.uint64) + b.astype(np.uint64)
+    return np.where(r >= p64, r - p64, r)
+
+
 def np_mulmod(a, b, p):
     return (a.astype(np.uint64) * b.astype(np.uint64) % np.uint64(p)).astype(np.uint32)
 

@@ -179,12 +179,86 @@ def intt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
 
 
 def np_ntt(x: np.ndarray, tables: NttTables) -> np.ndarray:
-    """Host forward NTT (NumPy, uint64 intermediates)."""
-    return _ntt_impl(np, np.ascontiguousarray(x, dtype=np.uint32), tables)
+    """Host forward NTT; uses the native C++ kernels when available
+    (fhetpu/native/fastntt.cpp), falling back to vectorized NumPy."""
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    out = _native_ntt(x, tables, forward=True)
+    if out is not None:
+        return out
+    return _ntt_impl(np, x, tables)
 
 
 def np_intt(x: np.ndarray, tables: NttTables) -> np.ndarray:
-    return _intt_impl(np, np.ascontiguousarray(x, dtype=np.uint32), tables)
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    out = _native_ntt(x, tables, forward=False)
+    if out is not None:
+        return out
+    return _intt_impl(np, x, tables)
+
+
+def np_pointwise_mulmod(a: np.ndarray, b: np.ndarray, tables: NttTables) -> np.ndarray:
+    """Host pointwise a*b mod p over [..., L, n] with b either [..., L, n]
+    (matching) or [L, n] (broadcast); native threaded kernel when available."""
+    from .. import native
+
+    L, n = len(tables.primes), tables.n
+    nlib = native.lib()
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    if nlib is not None and a.shape[-2:] == (L, n) and b.shape in ((L, n), a.shape):
+        import ctypes
+
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        out = np.empty_like(a)
+        flat = a.reshape(-1, L, n)
+        batch = flat.shape[0]
+        b_batch = 1 if b.shape == (L, n) else batch
+        p_arr = np.ascontiguousarray(tables.p.reshape(-1))
+        nlib.fastntt_pointwise_mulmod(
+            a.ctypes.data_as(u32p), b.ctypes.data_as(u32p),
+            out.ctypes.data_as(u32p), batch, b_batch, L, n,
+            p_arr.ctypes.data_as(u32p), native.default_threads(),
+        )
+        return out
+    p64 = tables.p.astype(np.uint64)
+    return (a.astype(np.uint64) * b.astype(np.uint64) % p64).astype(np.uint32)
+
+
+def _native_ntt(x: np.ndarray, tables: NttTables, forward: bool):
+    from .. import native
+
+    L = len(tables.primes)
+    if x.shape[-2] != L or x.shape[-1] != tables.n:
+        return None
+    nlib = native.lib()
+    if nlib is None:
+        return None
+    import ctypes
+
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def ptr(a):
+        return a.ctypes.data_as(u32p)
+
+    out = x.copy()
+    flat = out.reshape(-1, L, tables.n)
+    batch = flat.shape[0]
+    threads = native.default_threads()
+    p_arr = np.ascontiguousarray(tables.p.reshape(-1))
+    if forward:
+        nlib.fastntt_forward(
+            ptr(flat), batch, L, tables.n,
+            ptr(tables.psi_br), ptr(tables.psi_br_shoup), ptr(p_arr), threads,
+        )
+    else:
+        nlib.fastntt_inverse(
+            ptr(flat), batch, L, tables.n,
+            ptr(tables.ipsi_br), ptr(tables.ipsi_br_shoup), ptr(p_arr),
+            ptr(np.ascontiguousarray(tables.n_inv.reshape(-1))),
+            ptr(np.ascontiguousarray(tables.n_inv_shoup.reshape(-1))),
+            threads,
+        )
+    return out
 
 
 def negacyclic_convolve_naive(a, b, p: int) -> np.ndarray:

@@ -1,0 +1,150 @@
+// Native host-side kernels for the trusted client path (encrypt/decrypt):
+// batched negacyclic NTT / inverse NTT and pointwise modular multiply over
+// RNS limbs.  TPU-native counterpart of the role SEAL's C++ polynomial core
+// plays for the reference's client binaries (SURVEY.md C1): the accelerator
+// side uses JAX/XLA, but client key/cipher operations stay on host, where
+// NumPy's allocation overhead dominates -- this module replaces those inner
+// loops (Harvey butterflies with Shoup multiplication, 64-bit scalar math,
+// threaded over the ciphertext batch).
+//
+// Build: cc -O3 -march=native -shared -fPIC fastntt.cpp -o libfastntt.so
+// ABI: plain C functions over uint32 arrays laid out [batch, L, n]
+// (twiddle tables [L, n], per-limb scalars [L]).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline uint32_t mulmod_shoup(uint32_t x, uint32_t w, uint32_t w_sh, uint32_t p) {
+    uint32_t q = (uint32_t)(((uint64_t)x * w_sh) >> 32);
+    uint32_t r = x * w - q * p;  // mod 2^32; true value < 2p
+    return r >= p ? r - p : r;
+}
+
+inline uint32_t addmod(uint32_t a, uint32_t b, uint32_t p) {
+    uint32_t r = a + b;
+    return r >= p ? r - p : r;
+}
+
+inline uint32_t submod(uint32_t a, uint32_t b, uint32_t p) {
+    uint32_t r = a + p - b;
+    return r >= p ? r - p : r;
+}
+
+// forward: Cooley-Tukey, natural in -> bit-reversed out (psi folded)
+void ntt_poly(uint32_t* a, int n, const uint32_t* psi, const uint32_t* psi_sh,
+              uint32_t p) {
+    int t = n;
+    for (int m = 1; m < n; m <<= 1) {
+        t >>= 1;
+        for (int i = 0; i < m; i++) {
+            uint32_t S = psi[m + i];
+            uint32_t Ssh = psi_sh[m + i];
+            uint32_t* x = a + 2 * i * t;
+            uint32_t* y = x + t;
+            for (int j = 0; j < t; j++) {
+                uint32_t U = x[j];
+                uint32_t V = mulmod_shoup(y[j], S, Ssh, p);
+                x[j] = addmod(U, V, p);
+                y[j] = submod(U, V, p);
+            }
+        }
+    }
+}
+
+// inverse: Gentleman-Sande, bit-reversed in -> natural out, then * n^-1
+void intt_poly(uint32_t* a, int n, const uint32_t* ipsi, const uint32_t* ipsi_sh,
+               uint32_t p, uint32_t ninv, uint32_t ninv_sh) {
+    int t = 1;
+    for (int m = n; m > 1; m >>= 1) {
+        int h = m >> 1;
+        int j1 = 0;
+        for (int i = 0; i < h; i++) {
+            uint32_t S = ipsi[h + i];
+            uint32_t Ssh = ipsi_sh[h + i];
+            uint32_t* x = a + j1;
+            uint32_t* y = x + t;
+            for (int j = 0; j < t; j++) {
+                uint32_t U = x[j];
+                uint32_t V = y[j];
+                x[j] = addmod(U, V, p);
+                y[j] = mulmod_shoup(submod(U, V, p), S, Ssh, p);
+            }
+            j1 += 2 * t;
+        }
+        t <<= 1;
+    }
+    for (int j = 0; j < n; j++) a[j] = mulmod_shoup(a[j], ninv, ninv_sh, p);
+}
+
+template <typename F>
+void parallel_over(int64_t total, int threads, F&& fn) {
+    if (threads <= 1 || total < 2) {
+        fn(0, total);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (total + threads - 1) / threads;
+    for (int t = 0; t < threads; t++) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk > total ? total : lo + chunk;
+        if (lo >= hi) break;
+        ts.emplace_back([=, &fn] { fn(lo, hi); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// data [batch, L, n] in-place; psi/psi_sh [L, n]; p [L]
+void fastntt_forward(uint32_t* data, int64_t batch, int L, int n,
+                     const uint32_t* psi, const uint32_t* psi_sh,
+                     const uint32_t* p, int threads) {
+    parallel_over(batch * L, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int limb = (int)(k % L);
+            ntt_poly(data + k * n, n, psi + (int64_t)limb * n,
+                     psi_sh + (int64_t)limb * n, p[limb]);
+        }
+    });
+}
+
+void fastntt_inverse(uint32_t* data, int64_t batch, int L, int n,
+                     const uint32_t* ipsi, const uint32_t* ipsi_sh,
+                     const uint32_t* p, const uint32_t* ninv,
+                     const uint32_t* ninv_sh, int threads) {
+    parallel_over(batch * L, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int limb = (int)(k % L);
+            intt_poly(data + k * n, n, ipsi + (int64_t)limb * n,
+                      ipsi_sh + (int64_t)limb * n, p[limb], ninv[limb],
+                      ninv_sh[limb]);
+        }
+    });
+}
+
+// out = a * b mod p, all [batch, L, n]; b may broadcast with batch==1
+void fastntt_pointwise_mulmod(const uint32_t* a, const uint32_t* b,
+                              uint32_t* out, int64_t batch, int64_t b_batch,
+                              int L, int n, const uint32_t* p, int threads) {
+    parallel_over(batch * L, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int limb = (int)(k % L);
+            int64_t bk = b_batch == 1 ? limb : (k % (b_batch * L));
+            const uint32_t* av = a + k * n;
+            const uint32_t* bv = b + bk * n;
+            uint32_t* ov = out + k * n;
+            uint64_t pp = p[limb];
+            for (int j = 0; j < n; j++) {
+                ov[j] = (uint32_t)(((uint64_t)av[j] * bv[j]) % pp);
+            }
+        }
+    });
+}
+
+}  // extern "C"

@@ -1,0 +1,110 @@
+"""Run-length decode pipeline: homomorphic sin/cos accuracy (the analog of
+the reference's only built test, tests/test_decode.cpp), the trusted
+re-encrypt Fourier step, and RLE roundtrip semantics."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fhetpu.bfv.crypto import Decryptor, Encryptor, KeyGenerator
+from fhetpu.bfv.encoder import FractionalEncoder
+from fhetpu.bfv.evaluator import Ct, Evaluator
+from fhetpu.bfv.params import BfvParams
+from fhetpu.pipelines import rle_decode as rd
+
+N = 8192
+# t and n_fractional matter: at the reference defaults (t=2^14, 100 frac
+# digits) the Taylor chains' plaintext DIGITS overflow mod t -- the decrypted
+# polynomial is still BIT-EXACT vs the SEAL-semantics golden chain, but the
+# decoded value is garbage (an inherent property of the reference's encoder;
+# its pure-FHE decode path was never run).  t=2^20 with 24 fractional digits
+# keeps digit growth under t/2 through degree-10 chains.
+T = 1 << 17  # 2^20 leaves no noise margin at n=8192 (chain ~= budget)
+NFRAC = 24
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    par = BfvParams.create(n=N, t=T)
+    kg = KeyGenerator(par, seed=31)
+    enc = Encryptor(par, kg.public_key(), seed=32)
+    dec = Decryptor(par, kg.secret)
+    encoder = FractionalEncoder(T, N, 100, NFRAC)
+    ev = Evaluator(par, encoder)
+    return par, kg, enc, dec, encoder, ev
+
+
+def test_homomorphic_sin_near_center(ctx):
+    """Mirror of tests/test_decode.cpp:39-48: evaluate at integer inputs and
+    compare with std::sin; accuracy is good near the 3pi/2 Taylor center."""
+    par, kg, enc, dec, encoder, ev = ctx
+    for x in (3.0, 4.0, 5.0, 6.0):
+        ct = Ct(jnp.asarray(enc.encrypt(encoder.encode(x))))
+        res = rd.homomorphic_sin(ev, ct)
+        out = np.asarray(res.data)
+        assert dec.invariant_noise_budget(out) > 0
+        got = encoder.decode(dec.decrypt(out))
+        # degree-10 Taylor truncation + 24-digit encoding truncation
+        z = abs(x - 3 * math.pi / 2)
+        tol = z ** 12 / math.factorial(12) + 0.03
+        assert abs(got - math.sin(x)) <= tol, (x, got, math.sin(x))
+
+
+def test_homomorphic_cos_is_shifted(ctx):
+    """The reference's 'cos' shifts by -3pi/2 too (fhe_decode.h:137), so it
+    computes cos(x - 3pi/2) == -sin(x); ported faithfully and documented."""
+    par, kg, enc, dec, encoder, ev = ctx
+    x = 4.5
+    ct = Ct(jnp.asarray(enc.encrypt(encoder.encode(x))))
+    got = encoder.decode(dec.decrypt(np.asarray(rd.homomorphic_cos(ev, ct).data)))
+    assert abs(got - (-math.sin(x))) < 0.03
+
+
+def _rle(values):
+    pairs = []
+    for v in values:
+        if pairs and pairs[-1][0] == v:
+            pairs[-1][1] += 1
+        else:
+            pairs.append([v, 1])
+    return pairs
+
+
+def test_trusted_step_decodes_rle(ctx):
+    """End-to-end semantic check of the Fourier step (the overload the
+    reference server actually runs, fhe_decode.h:244-282): accumulate
+    per-pair runs and compare against the original sequence."""
+    par, kg, enc, dec, encoder, ev = ctx
+    rng = np.random.default_rng(3)
+    seq = np.repeat(rng.integers(0, 256, size=4), rng.integers(2, 6, size=4))[:16]
+    order = 16
+    positions = np.arange(order)
+    pairs = _rle(seq)
+    acc = np.zeros(order)
+    index = 0.0
+    for val, cnt in pairs:
+        amp = Ct(jnp.asarray(enc.encrypt(encoder.encode(float(val)))))
+        idx = Ct(jnp.asarray(enc.encrypt(encoder.encode(float(index)))))
+        c = Ct(jnp.asarray(enc.encrypt(encoder.encode(float(cnt)))))
+        run_cts = rd.approximated_step_trusted(
+            encoder, enc, dec,
+            np.asarray(amp.data), np.asarray(idx.data), np.asarray(c.data),
+            order=order, degree=12, delta=0.5, positions=positions,
+        )
+        acc += encoder.decode_batch(dec.decrypt_batch(run_cts))
+        index += cnt
+    # Fourier ringing tolerance like the reference's output quality
+    err = np.abs(acc[: len(seq)] - seq)
+    assert np.median(err) < 30, (acc, seq)
+
+
+def test_cumulative_counts(ctx):
+    par, kg, enc, dec, encoder, ev = ctx
+    counts = [Ct(jnp.asarray(enc.encrypt(encoder.encode(float(c))))) for c in (3, 5, 2)]
+    idxs = rd.cumulative_counts(ev, counts)
+    assert idxs[0] is None
+    got1 = encoder.decode(dec.decrypt(np.asarray(idxs[1].data)))
+    got2 = encoder.decode(dec.decrypt(np.asarray(idxs[2].data)))
+    assert abs(got1 - 3) < 1e-9 and abs(got2 - 8) < 1e-9
