@@ -63,7 +63,10 @@ def main():
 
     from fhetpu.pipelines.jpeg_encode import server_compute_fn
 
-    body = server_compute_fn(ev)
+    use_pallas = os.environ.get(
+        "FHETPU_BENCH_PALLAS", "1" if jax.default_backend() == "tpu" else "0"
+    ) == "1"
+    body = server_compute_fn(ev, use_pallas=use_pallas)
 
     def loop(x, k):
         # dynamic trip count: ONE compiled executable serves every k

@@ -235,13 +235,14 @@ class Decryptor:
         t = par.tables_q
         p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         size = cts.shape[-3]
-        acc = ntt.np_ntt(np.ascontiguousarray(cts[..., 0, :, :]), t).astype(np.uint64)
+        p32 = t.p.reshape(1, -1, 1)  # [1, L, 1] uint32; sums < 2^31 fit u32
+        acc = ntt.np_ntt(np.ascontiguousarray(cts[..., 0, :, :]), t)
         for j in range(1, size):
             cj = ntt.np_ntt(np.ascontiguousarray(cts[..., j, :, :]), t)
-            acc = modops.np_addmod_b(
-                acc, ntt.np_pointwise_mulmod(cj, self.sk.ntt_power(j), t), p64
-            )
-        return ntt.np_intt(acc.astype(np.uint32), t)
+            prod = ntt.np_pointwise_mulmod(cj, self.sk.ntt_power(j), t)
+            acc = acc + prod
+            acc = np.where(acc >= p32, acc - p32, acc)
+        return ntt.np_intt(acc, t)
 
     def decrypt_batch(self, cts: np.ndarray) -> np.ndarray:
         """uint32 [B, size, L, n] -> plaintext coeffs int64 [B, n] in [0,t).
@@ -254,8 +255,11 @@ class Decryptor:
         par = self.params
         consts = par.consts
         x = self._dot_secret(cts)  # [B, L, n]
-        p64, mu64, sh64 = modops.np_barrett_u64([int(q) for q in par.q_primes])
-        z = modops.np_mulmod_b(x, consts.qhat_inv_mod_q, p64, mu64, sh64)
+        t_tab = par.tables_q
+        qhat_inv_poly = np.broadcast_to(
+            consts.qhat_inv_mod_q.astype(np.uint32), (par.L, par.n)
+        )
+        z = ntt.np_pointwise_mulmod(x, np.ascontiguousarray(qhat_inv_poly), t_tab)
         w = z * np.uint64(par.t)  # < 2^47
         v = (w.astype(np.float64) / np.asarray(
             [float(p) for p in par.q_primes], dtype=np.float64
@@ -298,6 +302,15 @@ class Decryptor:
             return q.bit_length() - 1
         budget = q.bit_length() - 1 - (2 * max_norm).bit_length() + 1
         return max(budget, 0)
+
+
+def print_ciphertext_debug(ct: np.ndarray, decryptor: "Decryptor", encoder) -> str:
+    """Value + noise budget printer (fhe_decode.h:35-39 equivalent)."""
+    val = encoder.decode(decryptor.decrypt(ct))
+    budget = decryptor.invariant_noise_budget(ct)
+    line = f"Val: {val} Noise: {budget}"
+    print(line)
+    return line
 
 
 def _crt_reconstruct(limbs: np.ndarray, par: BfvParams) -> int:

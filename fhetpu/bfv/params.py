@@ -102,6 +102,17 @@ class BfvParams:
     def consts(self) -> "DerivedConsts":
         return _derived_consts(self)
 
+    def describe(self) -> str:
+        """print_parameters equivalent (fhe_image.h:493-506)."""
+        return (
+            "/ Encryption parameters:\n"
+            f"| poly_modulus: 1x^{self.n} + 1\n"
+            f"| coeff_modulus size: {self.q.bit_length()} bits "
+            f"({self.L} primes)\n"
+            f"| plain_modulus: {self.t}\n"
+            f"\\ noise_standard_deviation: {self.sigma}\n"
+        )
+
 
 def _prod(xs) -> int:
     r = 1

@@ -49,12 +49,6 @@ def main(argv=None):
         )
         encryptor = Encryptor(par, pk)
 
-    reader = serial.CtReader(args.cinfile)
-    src = reader.read(w * h * 3)
-    reader.close()
-    assert src is not None and src.shape[0] == w * h * 3, "stream truncated"
-    src = jnp.asarray(src.reshape(h, w, 3, 2, par.L, par.n))
-
     row_plan = rz.axis_plan(h, h2, mode)
     col_plan = rz.axis_plan(w, w2, mode)
     size_out = 2 if args.plain_fracts else (4 if mode == rz.BILINEAR else 8)
@@ -64,17 +58,48 @@ def main(argv=None):
     interp_per_px = 20 if args.bicubic else 3
     t = OpTimer(label)
     tile = args.tile_rows
+
+    # streaming source-row window (the reference's 2/4-row slide,
+    # fhe_resize.h:324-379, generalized to per-tile ranges): source rows are
+    # consumed monotonically, so only [win_lo, win_hi) rows live in memory
+    reader = serial.CtReader(args.cinfile)
+    window = None  # np [rows, w, 3, 2, L, n]
+    win_lo = 0
+
+    def advance_to(lo, hi):
+        nonlocal window, win_lo
+        if window is None:
+            take = reader.read(hi * w * 3)
+            window = take.reshape(-1, w, 3, 2, par.L, par.n)
+            win_lo = 0
+        drop = lo - win_lo
+        if drop > 0:
+            window = window[drop:]
+            win_lo = lo
+        have = win_lo + window.shape[0]
+        if have < hi:
+            more = reader.read((hi - have) * w * 3)
+            assert more is not None, "source stream truncated"
+            window = np.concatenate(
+                [window, more.reshape(-1, w, 3, 2, par.L, par.n)], axis=0
+            )
+        return window
+
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
-        rp = rz.AxisPlan(idx=row_plan.idx[y0:y1], fract=row_plan.fract[y0:y1])
+        rp_idx = row_plan.idx[y0:y1]
+        lo, hi = int(rp_idx.min()), int(rp_idx.max()) + 1
+        win = advance_to(lo, hi)
+        rp = rz.AxisPlan(idx=rp_idx - lo, fract=row_plan.fract[y0:y1])
         yops, xops = rz.make_fract_bundles(ev, rp, col_plan, mode, encryptor=encryptor)
         with t.span((y1 - y0) * w2 * interp_per_px):
-            out = rz.resize_tile(ev, src, rp, col_plan, yops, xops, mode,
-                                 plain=args.plain_fracts)
+            out = rz.resize_tile(ev, jnp.asarray(win), rp, col_plan, yops, xops,
+                                 mode, plain=args.plain_fracts)
             out.block_until_ready()
         writer.append(np.asarray(out).reshape(-1, size_out, par.L, par.n))
         if args.verbose:
-            print(f"rows {y0}..{y1} done", file=sys.stderr)
+            print(f"rows {y0}..{y1} done (window {lo}..{hi})", file=sys.stderr)
+    reader.close()
     writer.close()
     t.emit()
 

@@ -114,6 +114,24 @@ def test_encrypted_pipeline_bit_exact_vs_golden(setup):
             np.testing.assert_allclose(vals[bi, ci], ref, atol=1e-6)
 
 
+def test_pallas_dct_matches_jnp_server(setup):
+    """The fused Pallas DCT kernel (interpret mode on CPU) is bit-identical
+    to the jnp elementwise network inside the full server op."""
+    par, kg, enc, dec, encoder, ev, img = setup
+    rng = np.random.default_rng(3)
+    shape = (2, 3, 64, 2, par.L, par.n)
+    limbs = [
+        rng.integers(0, int(p), size=shape[:-2] + (par.n,), dtype=np.uint64)
+        for p in par.q_primes
+    ]
+    cts = jnp.asarray(np.stack(limbs, axis=-2).astype(np.uint32))
+    ref = np.asarray(pipe.server_compute_fn(ev)(cts))
+    fused = np.asarray(
+        pipe.server_compute_fn(ev, use_pallas=True, pallas_interpret=True)(cts)
+    )
+    np.testing.assert_array_equal(fused, ref)
+
+
 def test_cli_roundtrip(tmp_path, setup):
     _, _, _, _, _, _, img = setup
     from fhetpu.cli import client_jpeg, server_jpeg
