@@ -66,7 +66,14 @@ def main():
     use_pallas = os.environ.get(
         "FHETPU_BENCH_PALLAS", "1" if jax.default_backend() == "tpu" else "0"
     ) == "1"
-    body = server_compute_fn(ev, use_pallas=use_pallas)
+    # the production protocol streams ciphertexts in the NTT evaluation
+    # domain (client transforms with the native host NTT), so the steady-
+    # state server op is NTT-free; FHETPU_BENCH_NTT=1 measures the
+    # coefficient-domain variant including per-chunk transforms
+    with_ntt = os.environ.get("FHETPU_BENCH_NTT", "0") == "1"
+    body = server_compute_fn(
+        ev, use_pallas=use_pallas, input_ntt=not with_ntt, output_ntt=not with_ntt
+    )
 
     def loop(x, k):
         # dynamic trip count: ONE compiled executable serves every k

@@ -229,22 +229,27 @@ class Decryptor:
         self.params = params
         self.sk = secret_key
 
-    def _dot_secret(self, cts: np.ndarray) -> np.ndarray:
-        """x = sum_j ct_j s^j mod q for ct [..., size, L, n] -> [..., L, n]."""
+    def _dot_secret(self, cts: np.ndarray, ntt_form: bool = False) -> np.ndarray:
+        """x = sum_j ct_j s^j mod q for ct [..., size, L, n] -> [..., L, n].
+        ntt_form=True skips the forward NTTs (stream already in evaluation
+        domain -- the TPU-native protocol)."""
         par = self.params
         t = par.tables_q
         p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         size = cts.shape[-3]
         p32 = t.p.reshape(1, -1, 1)  # [1, L, 1] uint32; sums < 2^31 fit u32
-        acc = ntt.np_ntt(np.ascontiguousarray(cts[..., 0, :, :]), t)
+        def fwd(a):
+            a = np.ascontiguousarray(a)
+            return a if ntt_form else ntt.np_ntt(a, t)
+        acc = fwd(cts[..., 0, :, :])
         for j in range(1, size):
-            cj = ntt.np_ntt(np.ascontiguousarray(cts[..., j, :, :]), t)
+            cj = fwd(cts[..., j, :, :])
             prod = ntt.np_pointwise_mulmod(cj, self.sk.ntt_power(j), t)
             acc = acc + prod
             acc = np.where(acc >= p32, acc - p32, acc)
         return ntt.np_intt(acc, t)
 
-    def decrypt_batch(self, cts: np.ndarray) -> np.ndarray:
+    def decrypt_batch(self, cts: np.ndarray, ntt_form: bool = False) -> np.ndarray:
         """uint32 [B, size, L, n] -> plaintext coeffs int64 [B, n] in [0,t).
 
         m = round(t * x / q) mod t computed limb-wise:
@@ -254,7 +259,7 @@ class Decryptor:
         """
         par = self.params
         consts = par.consts
-        x = self._dot_secret(cts)  # [B, L, n]
+        x = self._dot_secret(cts, ntt_form)  # [B, L, n]
         t_tab = par.tables_q
         qhat_inv_poly = np.broadcast_to(
             consts.qhat_inv_mod_q.astype(np.uint32), (par.L, par.n)

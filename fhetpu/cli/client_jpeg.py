@@ -50,7 +50,9 @@ def run_send(args):
     )
     nb = blocks.shape[0]
     writer = serial.CtWriter(
-        args.coutfile, 2, par.L, par.n, meta={"w": w, "h": h, "layout": "rgb-blocks"}
+        args.coutfile, 2, par.L, par.n,
+        meta={"w": w, "h": h, "layout": "rgb-blocks",
+              "ntt": bool(getattr(args, "ntt_form", False))},
     )
     t = OpTimer("Encryption")
     chunk = max(args.chunk_blocks, 1)
@@ -59,7 +61,11 @@ def run_send(args):
         coeffs = encoder.encode_batch(blocks[lo:hi].reshape(-1))
         with t.span((hi - lo) * 192):
             cts = enc.encrypt_batch(coeffs)
-        writer.append(cts.reshape(hi - lo, 3 * 64, 2, par.L, par.n).reshape(-1, 2, par.L, par.n))
+            if getattr(args, "ntt_form", False):
+                from ..core import ntt as nttmod
+
+                cts = nttmod.np_ntt(cts, par.tables_q)
+        writer.append(cts)
     writer.close()
     t.emit()
     if args.verbose:
@@ -77,6 +83,7 @@ def run_recieve(args):
     )
     dec = Decryptor(par, sk)
     reader = serial.CtReader(args.cinfile)
+    in_ntt = bool(reader.meta.get("ntt", False))
     nb = (w // 8) * (h // 8)
     t = OpTimer("Decryption")
     out_blocks = np.zeros((nb, 3, 64), dtype=np.int64)
@@ -87,7 +94,7 @@ def run_recieve(args):
         if cts is None:
             break
         with t.span(cts.shape[0]):
-            coeffs = dec.decrypt_batch(cts)
+            coeffs = dec.decrypt_batch(cts, ntt_form=in_ntt)
         vals = encoder.decode_batch(coeffs)
         k = vals.shape[0]
         # reference rounding: v<0 ? ceil(v-.5) : floor(v+.5) (client_jpeg.cpp:278)
@@ -113,6 +120,9 @@ def run_recieve(args):
 
 def main(argv=None):
     p = base_parser("Client-side FHE JPEG (fhetpu)")
+    p.add_argument("--ntt-form", action="store_true",
+                   help="stream ciphertexts in the NTT evaluation domain "
+                        "(TPU-native protocol: the server op becomes NTT-free)")
     args = p.parse_args(argv)
     if not args.send and not args.recieve:
         p.error("use --send or --recieve")

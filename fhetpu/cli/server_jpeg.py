@@ -44,11 +44,20 @@ def main(argv=None):
     if args.quantize:
         ytab, _ = build_quant_tables(0)
         quant = ytab[ZIGZAG].astype(np.float64)  # natural-order per-slot table
-    server = make_server(ev, apply_quantize=args.quantize, quant=quant)
-
     reader = serial.CtReader(args.cinfile)
+    in_ntt = bool(reader.meta.get("ntt", False))
+    from ..pipelines.jpeg_encode import server_compute_fn
+    import jax
+
+    fn = server_compute_fn(
+        ev, apply_quantize=args.quantize, quant=quant,
+        input_ntt=in_ntt, output_ntt=in_ntt,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    server = jax.jit(fn, donate_argnums=(0,))
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
-                             meta={"w": w, "h": h, "layout": "ycc-blocks"})
+                             meta={"w": w, "h": h, "layout": "ycc-blocks",
+                                   "ntt": in_ntt})
     nb_total = (w // 8) * (h // 8)
     t = OpTimer("DCT")
     chunk = max(args.chunk_blocks, 1)

@@ -63,14 +63,16 @@ class CtWriter:
         self.f = open(path, "wb")
         self.size, self.L, self.n = size, L, n
         self.count = 0
+        self.meta = meta or {}
         header = {
             "size": size,
             "L": L,
             "n": n,
             "count": -1,
-            "meta": meta or {},
+            "meta": self.meta,
         }
-        hb = json.dumps(header).encode()
+        # 16 bytes of slack so close() can rewrite with the real count
+        hb = json.dumps(header).encode() + b" " * 16
         self.f.write(MAGIC + struct.pack("<II", VERSION, len(hb)) + hb)
         self._header_len = len(hb)
 
@@ -81,18 +83,19 @@ class CtWriter:
         self.f.write(flat.tobytes())
 
     def close(self):
-        # rewrite header with the final count (fixed-length via padding)
+        # rewrite header with the final count (fixed-length via padding),
+        # PRESERVING meta -- downstream stages read layout/ntt flags from it
         self.f.seek(len(MAGIC) + 8)
         header = {
             "size": self.size,
             "L": self.L,
             "n": self.n,
             "count": self.count,
-            "meta": {},
+            "meta": self.meta,
         }
         hb = json.dumps(header).encode()
-        if len(hb) <= self._header_len:
-            self.f.write(hb + b" " * (self._header_len - len(hb)))
+        assert len(hb) <= self._header_len, "header slack exhausted"
+        self.f.write(hb + b" " * (self._header_len - len(hb)))
         self.f.close()
 
 

@@ -141,12 +141,18 @@ def server_compute_fn(
     input_ntt: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    output_ntt: bool = False,
 ):
     """Build the jittable server op: [nb, 3, 64, 2, L, n] -> same shape.
 
     Input: RGB coefficient-slot ciphertexts in coefficient domain (as
     deserialized from the client stream).  Output: Y/Cb/Cr DCT coefficients
     back in coefficient domain, ready for serialization to the client.
+
+    input_ntt/output_ntt: the TPU-native protocol keeps ciphertext streams
+    in the NTT evaluation domain end-to-end (the client transforms with the
+    fast native host NTT; SEAL 2.3's transform_to_ntt semantics), removing
+    the per-chunk NTT passes -- the whole server op is then elementwise.
 
     use_pallas: run the DCT as the fused VMEM-resident TPU kernel
     (core.pallas_dct) instead of the XLA elementwise graph -- bit-identical
@@ -185,6 +191,8 @@ def server_compute_fn(
                     slots = quantize(ev, slots, quant)
                 out_ch.append(jnp.stack([s.data for s in slots], axis=1))
             out = jnp.stack(out_ch, axis=1)  # [nb, 3, 64, 2, L, n]
+        if output_ntt:
+            return out
         return ev.transform_from_ntt(Ct(out, True)).data
 
     return fn
