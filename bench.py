@@ -63,9 +63,9 @@ def main():
 
     from fhetpu.pipelines.jpeg_encode import server_compute_fn
 
-    use_pallas = os.environ.get(
-        "FHETPU_BENCH_PALLAS", "1" if jax.default_backend() == "tpu" else "0"
-    ) == "1"
+    # XLA elementwise graph is the measured winner on real TPU (18.2 ms vs
+    # pallas 28.4 ms at n=4096/nb=16); FHETPU_BENCH_PALLAS=1 opts back in
+    use_pallas = os.environ.get("FHETPU_BENCH_PALLAS", "0") == "1"
     # the production protocol streams ciphertexts in the NTT evaluation
     # domain (client transforms with the native host NTT), so the steady-
     # state server op is NTT-free; FHETPU_BENCH_NTT=1 measures the

@@ -18,7 +18,8 @@ import numpy as np
 
 from ..bfv.crypto import Decryptor, Encryptor, KeyGenerator, SecretKey
 from ..io import images, serial
-from .common import OpTimer, base_parser, make_encoder, make_params
+from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
+                     make_params)
 
 
 def add_decode_flags(p):
@@ -75,14 +76,15 @@ def run_send(args):
 
 
 def run_recieve(args):
-    par = make_params(args)
-    encoder = make_encoder(args)
     parts = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
     w, h = parts[0], parts[1]
+    reader = serial.CtReader(args.cinfile)
+    adopt_stream_params(args, reader)  # decode params.txt carries no pmod
+    par = make_params(args)
+    encoder = make_encoder(args)
     sk = SecretKey(small=serial.load_secret_key(os.path.join(args.keydir, "seckey.npz")),
                    params=par)
     dec = Decryptor(par, sk)
-    reader = serial.CtReader(args.cinfile)
     total = w * h * 3
     out = np.zeros(total, dtype=np.float64)
     t = OpTimer("Decryption")
@@ -98,8 +100,14 @@ def run_recieve(args):
         done += cts.shape[0]
     reader.close()
     t.emit()
-    # interleaved per-pixel RGB (server_decode.cpp:139-143)
-    pix = np.clip(np.rint(out), 0, 255).astype(np.uint8).reshape(h, w, 3)
+    vals = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # our server streams channel-planar (one batched dispatch per channel);
+    # the reference's is pixel-interleaved (server_decode.cpp:139-143) --
+    # honor whichever the stream header declares
+    if reader.meta.get("layout") == "raster-rgb-planar":
+        pix = vals.reshape(3, h, w).transpose(1, 2, 0)
+    else:
+        pix = vals.reshape(h, w, 3)
     images.save_rgb(args.outfile, pix)
     orig = images.load_rgb(args.file)
     print(f"RMSError,{images.rms_error(pix, orig):.6g},")

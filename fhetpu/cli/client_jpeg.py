@@ -19,7 +19,8 @@ import numpy as np
 from ..bfv.crypto import Decryptor, Encryptor, KeyGenerator, SecretKey, PublicKey
 from ..codec import jpeg as jpeg_codec
 from ..io import images, serial
-from .common import OpTimer, base_parser, make_encoder, make_params
+from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
+                     make_params)
 
 
 def run_send(args):
@@ -74,15 +75,16 @@ def run_send(args):
 
 
 def run_recieve(args):
+    w, h, _c, pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
+    reader = serial.CtReader(args.cinfile)
+    adopt_stream_params(args, reader, pmod)
     par = make_params(args)
     encoder = make_encoder(args)
-    w, h, _c, _pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
     sk = SecretKey(
         small=serial.load_secret_key(os.path.join(args.keydir, "seckey.npz")),
         params=par,
     )
     dec = Decryptor(par, sk)
-    reader = serial.CtReader(args.cinfile)
     in_ntt = bool(reader.meta.get("ntt", False))
     nb = (w // 8) * (h // 8)
     t = OpTimer("Decryption")

@@ -43,10 +43,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="result image filename")
     p.add_argument("--ncoeff", type=int, default=N_NUMBER_COEFFS)
     p.add_argument("--fcoeff", type=int, default=N_FRACTIONAL_COEFFS)
-    p.add_argument("--cmod", type=int, default=DEFAULT_POLY_DEGREE,
-                   help="polynomial ring degree n (reference's misnamed flag)")
-    p.add_argument("--pmod", type=int, default=DEFAULT_PLAIN_MODULUS,
-                   help="plaintext modulus t")
+    p.add_argument("--cmod", type=int, default=None,
+                   help="polynomial ring degree n (reference's misnamed flag; "
+                        f"default {DEFAULT_POLY_DEGREE}; receiving stages "
+                        "self-configure from the stream header)")
+    p.add_argument("--pmod", type=int, default=None,
+                   help=f"plaintext modulus t (default {DEFAULT_PLAIN_MODULUS})")
     p.add_argument("--base", type=int, default=POLY_BASE,
                    help="fractional encoding base")
     p.add_argument("--keydir", default="./keys", help="key/params directory")
@@ -65,11 +67,44 @@ def setup_platform(args):
         jax.config.update("jax_platforms", args.platform)
 
 
+def _apply_param_defaults(args):
+    if args.cmod is None:
+        args.cmod = DEFAULT_POLY_DEGREE
+    if args.pmod is None:
+        args.pmod = DEFAULT_PLAIN_MODULUS
+
+
+def adopt_stream_params(args, reader=None, pmod=None):
+    """Self-configure a receiving stage from the wire instead of flags.
+
+    The ciphertext stream header carries (size, L, n) and the sender's
+    params.txt carries t, so servers / --recieve need no --cmod/--pmod at
+    all; an explicitly-passed flag that contradicts the wire is a hard
+    error (the reference silently computes garbage on such a mismatch --
+    both binaries must be launched with identical flags there)."""
+    if reader is not None:
+        if args.cmod is not None and args.cmod != reader.n:
+            raise SystemExit(
+                f"--cmod {args.cmod} contradicts the ciphertext stream "
+                f"(n={reader.n}); omit --cmod to adopt the stream's"
+            )
+        args.cmod = reader.n
+    if pmod is not None:
+        if args.pmod is not None and args.pmod != pmod:
+            raise SystemExit(
+                f"--pmod {args.pmod} contradicts params.txt (t={pmod}); "
+                "omit --pmod to adopt the sender's"
+            )
+        args.pmod = pmod
+
+
 def make_params(args) -> BfvParams:
+    _apply_param_defaults(args)
     return BfvParams.create(n=args.cmod, t=args.pmod)
 
 
 def make_encoder(args) -> FractionalEncoder:
+    _apply_param_defaults(args)
     return FractionalEncoder(
         args.pmod, args.cmod, args.ncoeff, args.fcoeff, args.base
     )

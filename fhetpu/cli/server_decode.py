@@ -19,7 +19,8 @@ import sys
 
 import numpy as np
 
-from .common import OpTimer, base_parser, make_encoder, make_params, setup_platform
+from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
+                     make_params, setup_platform)
 from .client_decode import add_decode_flags
 
 
@@ -37,11 +38,13 @@ def main(argv=None):
     from ..io import serial
     from ..pipelines import rle_decode as rd
 
-    par = make_params(args)
-    encoder = make_encoder(args)
     parts = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
     w, h = parts[0], parts[1]
     npairs = parts[2:5]
+    reader = serial.CtReader(args.cinfile)
+    adopt_stream_params(args, reader)  # decode params.txt carries no pmod
+    par = make_params(args)
+    encoder = make_encoder(args)
     ev = Evaluator(par, encoder)
     pk = PublicKey(
         data=serial.load_public_key(os.path.join(args.keydir, "pubkey.npz")),
@@ -68,7 +71,6 @@ def main(argv=None):
         )
         decryptor = Decryptor(par, sk)
 
-    reader = serial.CtReader(args.cinfile)
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
                              meta={"w": w, "h": h, "layout": "raster-rgb-planar"})
     t = OpTimer("Step")

@@ -18,7 +18,8 @@ import sys
 
 import numpy as np
 
-from .common import OpTimer, base_parser, make_encoder, make_params, setup_platform
+from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
+                     make_params, setup_platform)
 
 
 def main(argv=None):
@@ -36,15 +37,16 @@ def main(argv=None):
     from ..io import serial
     from ..pipelines.jpeg_encode import make_server
 
+    w, h, _c, pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
+    reader = serial.CtReader(args.cinfile)
+    adopt_stream_params(args, reader, pmod)
     par = make_params(args)
     encoder = make_encoder(args)
-    w, h, _c, _pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
     ev = Evaluator(par, encoder)
     quant = None
     if args.quantize:
         ytab, _ = build_quant_tables(0)
         quant = ytab[ZIGZAG].astype(np.float64)  # natural-order per-slot table
-    reader = serial.CtReader(args.cinfile)
     in_ntt = bool(reader.meta.get("ntt", False))
     from ..pipelines.jpeg_encode import server_compute_fn
     import jax
@@ -52,7 +54,6 @@ def main(argv=None):
     fn = server_compute_fn(
         ev, apply_quantize=args.quantize, quant=quant,
         input_ntt=in_ntt, output_ntt=in_ntt,
-        use_pallas=jax.default_backend() == "tpu",
     )
     server = jax.jit(fn, donate_argnums=(0,))
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,

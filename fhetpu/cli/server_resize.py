@@ -15,7 +15,8 @@ import sys
 
 import numpy as np
 
-from .common import OpTimer, base_parser, make_encoder, make_params, setup_platform
+from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
+                     make_params, setup_platform)
 from .client_resize import add_resize_flags
 
 
@@ -34,9 +35,11 @@ def main(argv=None):
     from ..io import serial
     from ..pipelines import resize as rz
 
+    w, h, _c, pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
+    reader = serial.CtReader(args.cinfile)
+    adopt_stream_params(args, reader, pmod)
     par = make_params(args)
     encoder = make_encoder(args)
-    w, h, _c, _pmod = serial.read_params_txt(os.path.join(args.keydir, "params.txt"))
     ev = Evaluator(par, encoder)
     mode = rz.BICUBIC if args.bicubic else rz.BILINEAR
     w2, h2 = args.width, args.height
@@ -62,7 +65,6 @@ def main(argv=None):
     # streaming source-row window (the reference's 2/4-row slide,
     # fhe_resize.h:324-379, generalized to per-tile ranges): source rows are
     # consumed monotonically, so only [win_lo, win_hi) rows live in memory
-    reader = serial.CtReader(args.cinfile)
     window = None  # np [rows, w, 3, 2, L, n]
     win_lo = 0
 

@@ -142,6 +142,7 @@ def server_compute_fn(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     output_ntt: bool = False,
+    use_fast: Optional[bool] = None,
 ):
     """Build the jittable server op: [nb, 3, 64, 2, L, n] -> same shape.
 
@@ -157,13 +158,29 @@ def server_compute_fn(
     use_pallas: run the DCT as the fused VMEM-resident TPU kernel
     (core.pallas_dct) instead of the XLA elementwise graph -- bit-identical
     output, one HBM read+write per block instead of dozens.
+
+    use_fast: lazy-reduction + folded-constant fused network
+    (pipelines.jpeg_fast) -- also bit-identical, but measured SLOWER than
+    the XLA graph on real TPU (32.4 vs 18.2 ms at n=4096/nb=16: the lazy
+    bound-tracking emits mid-network conditional subtracts once bounds hit
+    the 2^(32-28) headroom and defeats XLA's elementwise fusion), so it is
+    OFF by default; kept as an option for parameter sets with more headroom.
     """
+    if use_fast is None:
+        use_fast = False
 
     def fn(cts: jnp.ndarray) -> jnp.ndarray:
         nb = cts.shape[0]
         x = Ct(cts, input_ntt)
         x = ev.transform_to_ntt(x)
         d = x.data  # [nb, 3, 64, 2, L, n]
+        if use_fast and not use_pallas:
+            from .jpeg_fast import server_ycc_dct_fast
+
+            out = server_ycc_dct_fast(ev, d, apply_quantize, quant)
+            if output_ntt:
+                return out
+            return ev.transform_from_ntt(Ct(out, True)).data
         # --- per-pixel color transform, batched over nb*64 ---
         r = Ct(d[:, 0], True)
         g = Ct(d[:, 1], True)
@@ -201,8 +218,10 @@ def server_compute_fn(
 def make_server(ev: Evaluator, apply_quantize: bool = False, quant=None,
                 use_pallas: Optional[bool] = None):
     """jitted end-to-end server compute (donates its input buffer).
-    use_pallas=None auto-selects the fused kernel on TPU backends."""
+    The XLA elementwise graph is the default everywhere: measured faster
+    than the fused Pallas kernel on real TPU (18.2 vs 28.4 ms full op at
+    n=4096/nb=16 -- XLA's own fusion wins for this all-elementwise net)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     fn = server_compute_fn(ev, apply_quantize, quant, use_pallas=use_pallas)
     return jax.jit(fn, donate_argnums=(0,))

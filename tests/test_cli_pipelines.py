@@ -1,0 +1,103 @@
+"""End-to-end CLI roundtrips for the resize and RLE-decode pipelines.
+
+Complements test_jpeg_pipeline.test_cli_roundtrip: drives the actual
+client/server main()s through the reference's file protocol (params.txt,
+pubkey/seckey, ciphertext streams -- SURVEY.md 2.4) on tiny images, and
+checks the receiving stages self-configure n/t from the wire (no
+--cmod/--pmod repeated at every stage, unlike the reference where a flag
+mismatch between binaries silently produces garbage).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fhetpu.io import images
+
+N, T = 2048, 1 << 14
+
+
+def _write_img(tmp_path, h, w, seed=5):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    path = os.path.join(str(tmp_path), "in.png")
+    images.save_rgb(path, img)
+    return path, img
+
+
+def test_resize_cli_roundtrip(tmp_path):
+    from fhetpu.cli import client_resize, server_resize
+    from fhetpu.pipelines.resize import BILINEAR, resize_float
+
+    d = str(tmp_path)
+    img_path, img = _write_img(tmp_path, 6, 6)
+    size = ["--width", "3", "--height", "3"]
+    # only --send names the ring degree; server and --recieve adopt it
+    # from the stream header / params.txt
+    client_resize.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", str(N)] + size
+    )
+    server_resize.main(
+        ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+         "--keydir", os.path.join(d, "keys"), "--plain-fracts",
+         "--platform", "cpu"] + size
+    )
+    out_png = os.path.join(d, "out.png")
+    client_resize.main(
+        ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
+         "-o", out_png, "--keydir", os.path.join(d, "keys")] + size
+    )
+    ours = images.load_rgb(out_png).astype(np.float64)
+    want = np.clip(resize_float(img.astype(np.float64), 3, 3, BILINEAR), 0, 255)
+    # decrypt+clamp+round vs the pipeline's own plaintext sampler
+    # (the printed RMSError line compares vs OpenCV's different half-pixel
+    # mapping instead, like the reference's compare_resize_opencv)
+    assert images.rms_error(ours, want) < 1.0
+
+
+def test_decode_cli_roundtrip(tmp_path):
+    from fhetpu.cli import client_decode, server_decode
+
+    d = str(tmp_path)
+    # constant runs make few RLE pairs -> fast trusted-path server
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2] = 40
+    img[2:] = 200
+    img_path = os.path.join(d, "in.png")
+    images.save_rgb(img_path, img)
+    common = ["--keydir", os.path.join(d, "keys"), "--order", "16"]
+    client_decode.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--cmod", str(N)] + common
+    )
+    server_decode.main(
+        ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+         "--degree", "48", "--delta", "0.5", "--platform", "cpu"] + common
+    )
+    out_png = os.path.join(d, "out.png")
+    client_decode.main(
+        ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
+         "-o", out_png] + common
+    )
+    ours = images.load_rgb(out_png).astype(np.float64)
+    # Fourier-series step reconstruction: approximate by design
+    assert images.rms_error(ours, img.astype(np.float64)) < 30.0
+
+
+def test_cmod_mismatch_fails_fast(tmp_path):
+    from fhetpu.cli import client_jpeg, server_jpeg
+
+    d = str(tmp_path)
+    img_path, _ = _write_img(tmp_path, 8, 8)
+    client_jpeg.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", str(N)]
+    )
+    with pytest.raises(SystemExit):
+        server_jpeg.main(
+            ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+             "--keydir", os.path.join(d, "keys"), "--cmod", "8192",
+             "--platform", "cpu"]
+        )
