@@ -66,13 +66,17 @@ def main():
     # XLA elementwise graph is the measured winner on real TPU (18.2 ms vs
     # pallas 28.4 ms at n=4096/nb=16); FHETPU_BENCH_PALLAS=1 opts back in
     use_pallas = os.environ.get("FHETPU_BENCH_PALLAS", "0") == "1"
+    # fused single-kernel YCC+DCT (core/pallas_server.py): one HBM read +
+    # one write per op, the bandwidth floor
+    use_fused = os.environ.get("FHETPU_BENCH_FUSED", "1") == "1"
     # the production protocol streams ciphertexts in the NTT evaluation
     # domain (client transforms with the native host NTT), so the steady-
     # state server op is NTT-free; FHETPU_BENCH_NTT=1 measures the
     # coefficient-domain variant including per-chunk transforms
     with_ntt = os.environ.get("FHETPU_BENCH_NTT", "0") == "1"
     body = server_compute_fn(
-        ev, use_pallas=use_pallas, input_ntt=not with_ntt, output_ntt=not with_ntt
+        ev, use_pallas=use_pallas, input_ntt=not with_ntt,
+        output_ntt=not with_ntt, use_fused=use_fused and not use_pallas,
     )
 
     def loop(x, k):

@@ -229,6 +229,51 @@ class Evaluator:
         c1 = modops.addmod(c1, acc1, self.p)
         return Ct(jnp.stack([c0, c1], axis=-3), False)
 
+    def add_many(self, cts) -> Ct:
+        """Sum of a list of ciphertexts (SEAL Evaluator::add_many)."""
+        cts = list(cts)
+        acc = cts[0]
+        for c in cts[1:]:
+            acc = self.add(acc, c)
+        return acc
+
+    def multiply_many(self, cts, rk=None) -> Ct:
+        """Product of a list of ciphertexts (SEAL Evaluator::multiply_many).
+
+        SEAL relinearizes between multiplies (it requires evaluation keys);
+        we do the same when rk is given, otherwise sizes compose
+        unrelinearized like the reference's Cubic chains (fhe_resize.h:174-183).
+        """
+        cts = list(cts)
+        acc = cts[0]
+        for c in cts[1:]:
+            acc = self.multiply(acc, c)
+            if rk is not None:
+                acc = self.relinearize(acc, rk)
+        return acc
+
+    def exponentiate(self, a: Ct, exponent: int, rk=None) -> Ct:
+        """a^exponent via square-and-multiply (SEAL Evaluator::exponentiate,
+        listed in SURVEY.md C1; the reference never calls it).  exponent >= 1.
+        Relinearizes after each multiply when rk is given."""
+        if exponent < 1:
+            raise ValueError("exponentiate requires exponent >= 1 (SEAL semantics)")
+        result = None
+        base = a
+        e = exponent
+        while True:
+            if e & 1:
+                result = base if result is None else self.multiply(result, base)
+                if rk is not None and result.size > 2:
+                    result = self.relinearize(result, rk)
+            e >>= 1
+            if e == 0:
+                break
+            base = self.square(base)
+            if rk is not None and base.size > 2:
+                base = self.relinearize(base, rk)
+        return result
+
     # linear-combination fusion helper for pipeline graphs
     def lincomb(self, terms) -> Ct:
         """sum_i ct_i * const_i (consts pre-encoded PlainOperands or None

@@ -143,6 +143,7 @@ def server_compute_fn(
     pallas_interpret: bool = False,
     output_ntt: bool = False,
     use_fast: Optional[bool] = None,
+    use_fused: bool = False,
 ):
     """Build the jittable server op: [nb, 3, 64, 2, L, n] -> same shape.
 
@@ -174,6 +175,13 @@ def server_compute_fn(
         x = Ct(cts, input_ntt)
         x = ev.transform_to_ntt(x)
         d = x.data  # [nb, 3, 64, 2, L, n]
+        if use_fused and not apply_quantize:
+            from ..core.pallas_server import server_ycc_dct_fused
+
+            out = server_ycc_dct_fused(ev, d, interpret=pallas_interpret)
+            if output_ntt:
+                return out
+            return ev.transform_from_ntt(Ct(out, True)).data
         if use_fast and not use_pallas:
             from .jpeg_fast import server_ycc_dct_fast
 

@@ -147,3 +147,40 @@ def test_batched_ops(ctx):
     doubled = ev.add(c, c)
     out = dec.decrypt_batch(np.asarray(ev.transform_from_ntt(doubled).data))
     np.testing.assert_allclose(encoder.decode_batch(out), 2 * vals, atol=1e-20)
+
+
+def test_add_many_multiply_many_exponentiate(ctx4096):
+    par, kg, enc, dec, encoder, ev = ctx4096
+    vals = [1.5, -2.0, 3.0]
+    plains = [encoder.encode(v) for v in vals]
+    cts = [Ct(jnp.asarray(enc.encrypt(p))) for p in plains]
+
+    s = ev.add_many(cts)
+    got = dec.decrypt(np.asarray(s.data))
+    want = plains[0].coeffs
+    for p in plains[1:]:
+        want = golden.add(want, p.coeffs, T)
+    np.testing.assert_array_equal(got.coeffs, want)
+    assert abs(encoder.decode(got) - sum(vals)) < 1e-9
+
+    m = ev.multiply_many(cts)
+    assert m.size == 4  # unrelinearized growth 2x2->3, 3x2->4
+    got = dec.decrypt(np.asarray(m.data))
+    want = golden.mult(golden.mult(plains[0].coeffs, plains[1].coeffs, T),
+                       plains[2].coeffs, T)
+    np.testing.assert_array_equal(got.coeffs, want)
+    assert abs(encoder.decode(got) - (1.5 * -2.0 * 3.0)) < 1e-6
+
+    # exponentiate == repeated multiply (SEAL semantics), cubed here
+    e = ev.exponentiate(cts[0], 3)
+    got = dec.decrypt(np.asarray(e.data))
+    want = golden.mult(golden.mult(plains[0].coeffs, plains[0].coeffs, T),
+                       plains[0].coeffs, T)
+    np.testing.assert_array_equal(got.coeffs, want)
+
+    # relinearized exponentiate stays size-2 and decrypts to the same value
+    rk = DeviceRelinKeys(kg.relin_keys(max_power=2))
+    e2 = ev.exponentiate(cts[0], 3, rk=rk)
+    assert e2.size == 2
+    got2 = dec.decrypt(np.asarray(e2.data))
+    assert abs(encoder.decode(got2) - 1.5 ** 3) < 1e-6

@@ -132,6 +132,27 @@ def test_pallas_dct_matches_jnp_server(setup):
     np.testing.assert_array_equal(fused, ref)
 
 
+def test_fused_server_kernel_matches_jnp_server(setup):
+    """The single fused YCC+DCT Pallas kernel (core/pallas_server.py,
+    interpret mode on CPU) is bit-identical to the jnp elementwise server."""
+    par, kg, enc, dec, encoder, ev, img = setup
+    rng = np.random.default_rng(4)
+    shape = (2, 3, 64, 2, par.L, par.n)
+    limbs = [
+        rng.integers(0, int(p), size=shape[:-2] + (par.n,), dtype=np.uint64)
+        for p in par.q_primes
+    ]
+    cts = jnp.asarray(np.stack(limbs, axis=-2).astype(np.uint32))
+    ref = np.asarray(pipe.server_compute_fn(ev, input_ntt=True, output_ntt=True)(cts))
+    fused = np.asarray(
+        pipe.server_compute_fn(
+            ev, input_ntt=True, output_ntt=True, use_fused=True,
+            pallas_interpret=True,
+        )(cts)
+    )
+    np.testing.assert_array_equal(fused, ref)
+
+
 def test_cli_roundtrip(tmp_path, setup):
     _, _, _, _, _, _, img = setup
     from fhetpu.cli import client_jpeg, server_jpeg
