@@ -5,11 +5,24 @@ server_jpeg.cpp:127-135).
 
 Baseline (BASELINE.md): single-core SEAL 2.3 DCT at n=4096 ~= 5.0
 encrypted block-channels/s => ~1.667 full RGB blocks/s including YCC.
-We report full-pipeline (YCC + 3xDCT) blocks/s on one chip and compare
-against the DCT-only single-channel baseline the driver tracks
-(blocks/s/chip vs 5.0), i.e. vs_baseline = channel-blocks-per-sec / 5.0.
+We report full-pipeline (YCC + 3xDCT) channel-blocks/s on one chip;
+vs_baseline = channel-blocks-per-sec / 5.0.
+
+Timing design (fixes the round-1 clamp artifact, VERDICT.md item 1):
+the remote-TPU dispatch path has tens of ms of fixed per-call latency and
+occasional multi-second jitter, so differencing two small calls is
+hopeless.  Instead the measured op runs inside ONE lax.fori_loop dispatch
+whose trip count is auto-scaled until the *absolute* wall time of the big
+call exceeds a multi-second floor; the measured per-iteration cost is then
+(t_big - t_floor) / (k_big - k_floor) with t_floor from a k=1 call of the
+same executable.  If the subtraction still lands under MIN_DT the trip
+count doubles and we retry; after the retry budget we hard-fail rather
+than print a garbage number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Sidecar: bench_details.json next to this file records every variant
+measured (XLA graph vs fused Pallas, NTT-free protocol vs with-NTT) so
+perf claims in docs have a committed artifact.
 """
 
 import json
@@ -20,6 +33,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+TARGET_SECONDS = 4.0   # in-graph device time to aim for per measured call
+MIN_DT = 0.5           # hard floor on the measured delta; below => retry
+MAX_RETRIES = 4
+
+
+def _time_call(jloop, x, k):
+    t0 = time.perf_counter()
+    jloop(x, k).block_until_ready()
+    return time.perf_counter() - t0
+
+
+def measure(jloop, x, label, verbose=True):
+    """Robust per-iteration seconds for jloop(x, k) (one jitted executable,
+    dynamic trip count).  Returns (sec_per_iter, k_used, dt)."""
+    jloop(x, 1).block_until_ready()  # compile + warmup
+    # rough estimate from a k=8 call (absolute, includes dispatch floor)
+    t8 = _time_call(jloop, x, 8)
+    est_per_iter = max(t8 / 8.0, 1e-6)
+    k = max(int(TARGET_SECONDS / est_per_iter), 16)
+    for attempt in range(MAX_RETRIES + 1):
+        t_floor = _time_call(jloop, x, 1)
+        t_big = _time_call(jloop, x, k + 1)
+        dt = t_big - t_floor
+        if verbose:
+            print(
+                f"[bench] {label}: k={k} t_floor={t_floor*1e3:.1f}ms "
+                f"t_big={t_big:.3f}s dt={dt:.3f}s",
+                file=sys.stderr,
+            )
+        if dt >= MIN_DT:
+            return dt / k, k, dt
+        k *= 4
+    raise RuntimeError(
+        f"bench '{label}' could not obtain a measurable delta "
+        f"(dt={dt:.4f}s < {MIN_DT}s at k={k//4}); refusing to report a "
+        f"clamped/garbage number"
+    )
 
 
 def main():
@@ -39,16 +90,16 @@ def main():
     from fhetpu.bfv.encoder import FractionalEncoder
     from fhetpu.bfv.evaluator import Evaluator
     from fhetpu.bfv.params import BfvParams
-    from fhetpu.pipelines.jpeg_encode import make_server
+    from fhetpu.pipelines.jpeg_encode import server_compute_fn
+
+    on_tpu = jax.default_backend() == "tpu"
 
     n = int(os.environ.get("FHETPU_BENCH_N", 4096))
     nb = int(os.environ.get("FHETPU_BENCH_BLOCKS", 16))
-    iters = int(os.environ.get("FHETPU_BENCH_ITERS", 10))
 
     par = BfvParams.create(n=n, t=1 << 14)
     encoder = FractionalEncoder(par.t, par.n)
     ev = Evaluator(par, encoder)
-    server = make_server(ev)
 
     rng = np.random.default_rng(0)
     shape = (nb, 3, 64, 2, par.L, par.n)
@@ -61,52 +112,60 @@ def main():
 
     from jax import lax
 
-    from fhetpu.pipelines.jpeg_encode import server_compute_fn
+    def build(use_fused, with_ntt):
+        body = server_compute_fn(
+            ev, input_ntt=not with_ntt, output_ntt=not with_ntt,
+            use_fused=use_fused,
+        )
 
-    # XLA elementwise graph is the measured winner on real TPU (18.2 ms vs
-    # pallas 28.4 ms at n=4096/nb=16); FHETPU_BENCH_PALLAS=1 opts back in
-    use_pallas = os.environ.get("FHETPU_BENCH_PALLAS", "0") == "1"
-    # fused single-kernel YCC+DCT (core/pallas_server.py): one HBM read +
-    # one write per op, the bandwidth floor
-    use_fused = os.environ.get("FHETPU_BENCH_FUSED", "1") == "1"
-    # the production protocol streams ciphertexts in the NTT evaluation
-    # domain (client transforms with the native host NTT), so the steady-
-    # state server op is NTT-free; FHETPU_BENCH_NTT=1 measures the
-    # coefficient-domain variant including per-chunk transforms
-    with_ntt = os.environ.get("FHETPU_BENCH_NTT", "0") == "1"
-    body = server_compute_fn(
-        ev, use_pallas=use_pallas, input_ntt=not with_ntt,
-        output_ntt=not with_ntt, use_fused=use_fused and not use_pallas,
-    )
+        def loop(x, k):
+            return lax.fori_loop(0, k, lambda i, v: body(v), x, unroll=1)
 
-    def loop(x, k):
-        # dynamic trip count: ONE compiled executable serves every k
-        return lax.fori_loop(0, k, lambda i, v: body(v), x, unroll=1)
+        return jax.jit(loop)
 
-    jloop = jax.jit(loop)
-
-    # single-dispatch in-graph iteration: the remote dispatch path has
-    # multi-second per-call latency, so all timing runs inside one call;
-    # differencing two iteration counts cancels the fixed dispatch overhead
-    k1, k2 = 1, 1 + iters
     x = jnp.asarray(cts)
-    jloop(x, 1).block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    jloop(x, k1).block_until_ready()
-    t_a = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jloop(x, k2).block_until_ready()
-    t_b = time.perf_counter() - t0
-    dt = max(t_b - t_a, 1e-9)
 
-    blocks_per_s = nb * (k2 - k1) / dt
-    channel_blocks_per_s = blocks_per_s * 3  # baseline unit: per channel-block
-    vs = channel_blocks_per_s / 5.0
+    # Variants: the production protocol streams ciphertexts in the NTT
+    # evaluation domain (NTT-free steady-state server op).  The fused
+    # single-kernel Pallas variant only runs on real TPU (compiled mode);
+    # off-TPU we measure the XLA graph only.
+    variants = [("xla_nttfree", False, False)]
+    if on_tpu:
+        variants.append(("fused_pallas_nttfree", True, False))
+    variants.append(("xla_with_ntt", False, True))
+
+    details = {"n": n, "nb": nb, "backend": jax.default_backend(), "variants": {}}
+    results = {}
+    for label, use_fused, with_ntt in variants:
+        jloop = build(use_fused, with_ntt)
+        sec_per_iter, k, dt = measure(jloop, x, label)
+        cbs = nb * 3 / sec_per_iter  # channel-blocks per second
+        results[label] = cbs
+        details["variants"][label] = {
+            "ms_per_op": round(sec_per_iter * 1e3, 3),
+            "channel_blocks_per_s": round(cbs, 2),
+            "k": k,
+            "measured_dt_s": round(dt, 3),
+        }
+
+    # headline: best NTT-free variant (the production protocol)
+    nttfree = {k_: v for k_, v in results.items() if k_.endswith("nttfree")}
+    best_label = max(nttfree, key=nttfree.get)
+    headline = nttfree[best_label]
+    details["headline_variant"] = best_label
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_details.json"), "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
+    vs = headline / 5.0
     print(
         json.dumps(
             {
                 "metric": "encrypted 8x8 channel-blocks/s/chip (FHE YCC+DCT, n=%d)" % n,
-                "value": round(channel_blocks_per_s, 2),
+                "value": round(headline, 2),
                 "unit": "channel-blocks/s",
                 "vs_baseline": round(vs, 2),
             }

@@ -16,8 +16,6 @@ at fhe_image.h:508-521).  Semantics faithfully mirrored:
   to 90 and <50 maps to 5000/q (include/jo_jpeg.h:251-253) -- so the
   reference's RMSError 1.71767 is "all-ones-quant FHE JPEG vs quality-90
   jo JPEG", which this module reproduces.
-
-A C++ fast path for the bit-level entropy coder lives in fhetpu/native.
 """
 
 from __future__ import annotations

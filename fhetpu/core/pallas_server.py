@@ -6,7 +6,8 @@ Pallas DCT (core/pallas_dct.py):
 
 * The XLA graph runs ~40 fusion clusters over the [nb, 3, 64, 2, L, n]
   working set -- every cluster is an HBM read + write of the full batch, so
-  the op is fusion-granularity bandwidth-bound (~18 ms at n=4096/nb=16).
+  the op is fusion-granularity bandwidth-bound (measured 16.6 ms vs 8.5 ms
+  for this kernel at n=4096/nb=16 on TPU v5e -- bench_details.json).
 * pallas_dct keeps the DCT VMEM-resident but pays two full HBM transposes
   into its [nb, ch, L, 8, 8, 2n] layout and leaves YCC to XLA outside.
 * This kernel reads each ciphertext block ONCE in the layout the stream

@@ -166,6 +166,12 @@ def server_compute_fn(
     bound-tracking emits mid-network conditional subtracts once bounds hit
     the 2^(32-28) headroom and defeats XLA's elementwise fusion), so it is
     OFF by default; kept as an option for parameter sets with more headroom.
+
+    use_fused: the single-Pallas-kernel YCC+DCT (core/pallas_server.py) is
+    the measured winner on real TPU v5e: 8.5 ms vs 16.6 ms for the XLA
+    elementwise graph at n=4096/nb=16 (committed artifact:
+    bench_details.json, round 2).  It requires compiled Pallas, i.e. a real
+    TPU; off-TPU callers use the XLA graph.
     """
     if use_fast is None:
         use_fast = False
@@ -224,12 +230,20 @@ def server_compute_fn(
 
 
 def make_server(ev: Evaluator, apply_quantize: bool = False, quant=None,
-                use_pallas: Optional[bool] = None):
+                use_pallas: Optional[bool] = None,
+                use_fused: Optional[bool] = None):
     """jitted end-to-end server compute (donates its input buffer).
-    The XLA elementwise graph is the default everywhere: measured faster
-    than the fused Pallas kernel on real TPU (18.2 vs 28.4 ms full op at
-    n=4096/nb=16 -- XLA's own fusion wins for this all-elementwise net)."""
+
+    Default kernel selection (measured on real TPU v5e, bench_details.json):
+    the fused single-Pallas-kernel YCC+DCT wins (8.5 ms vs 16.6 ms for the
+    XLA elementwise graph at n=4096/nb=16), so it is the default on TPU.
+    Off-TPU (CPU tests, virtual meshes) Pallas compiled mode is unavailable
+    and the XLA graph is used.  Quantize-enabled runs also use the XLA
+    graph (the fused kernel covers the reference default, quantize off)."""
+    if use_fused is None:
+        use_fused = (jax.default_backend() == "tpu") and not apply_quantize
     if use_pallas is None:
         use_pallas = False
-    fn = server_compute_fn(ev, apply_quantize, quant, use_pallas=use_pallas)
+    fn = server_compute_fn(ev, apply_quantize, quant, use_pallas=use_pallas,
+                           use_fused=use_fused)
     return jax.jit(fn, donate_argnums=(0,))
