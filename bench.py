@@ -8,16 +8,9 @@ encrypted block-channels/s => ~1.667 full RGB blocks/s including YCC.
 We report full-pipeline (YCC + 3xDCT) channel-blocks/s on one chip;
 vs_baseline = channel-blocks-per-sec / 5.0.
 
-Timing design (fixes the round-1 clamp artifact, VERDICT.md item 1):
-the remote-TPU dispatch path has tens of ms of fixed per-call latency and
-occasional multi-second jitter, so differencing two small calls is
-hopeless.  Instead the measured op runs inside ONE lax.fori_loop dispatch
-whose trip count is auto-scaled until the *absolute* wall time of the big
-call exceeds a multi-second floor; the measured per-iteration cost is then
-(t_big - t_floor) / (k_big - k_floor) with t_floor from a k=1 call of the
-same executable.  If the subtraction still lands under MIN_DT the trip
-count doubles and we retry; after the retry budget we hard-fail rather
-than print a garbage number.
+Timing design (fixes the round-1 clamp artifact, VERDICT.md item 1): see
+fhetpu/bench/timing.py -- in-graph fori_loop with auto-scaled trip count,
+absolute multi-second measurement, hard-fail instead of clamping.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Sidecar: bench_details.json next to this file records every variant
@@ -28,49 +21,12 @@ perf claims in docs have a committed artifact.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-TARGET_SECONDS = 4.0   # in-graph device time to aim for per measured call
-MIN_DT = 0.5           # hard floor on the measured delta; below => retry
-MAX_RETRIES = 4
-
-
-def _time_call(jloop, x, k):
-    t0 = time.perf_counter()
-    jloop(x, k).block_until_ready()
-    return time.perf_counter() - t0
-
-
-def measure(jloop, x, label, verbose=True):
-    """Robust per-iteration seconds for jloop(x, k) (one jitted executable,
-    dynamic trip count).  Returns (sec_per_iter, k_used, dt)."""
-    jloop(x, 1).block_until_ready()  # compile + warmup
-    # rough estimate from a k=8 call (absolute, includes dispatch floor)
-    t8 = _time_call(jloop, x, 8)
-    est_per_iter = max(t8 / 8.0, 1e-6)
-    k = max(int(TARGET_SECONDS / est_per_iter), 16)
-    for attempt in range(MAX_RETRIES + 1):
-        t_floor = _time_call(jloop, x, 1)
-        t_big = _time_call(jloop, x, k + 1)
-        dt = t_big - t_floor
-        if verbose:
-            print(
-                f"[bench] {label}: k={k} t_floor={t_floor*1e3:.1f}ms "
-                f"t_big={t_big:.3f}s dt={dt:.3f}s",
-                file=sys.stderr,
-            )
-        if dt >= MIN_DT:
-            return dt / k, k, dt
-        k *= 4
-    raise RuntimeError(
-        f"bench '{label}' could not obtain a measurable delta "
-        f"(dt={dt:.4f}s < {MIN_DT}s at k={k//4}); refusing to report a "
-        f"clamped/garbage number"
-    )
+from fhetpu.bench.timing import measure
 
 
 def main():

@@ -59,18 +59,24 @@ def jpeg_parameters(t: int = 1 << 14, margin_bits: float = 10.0) -> BfvParams:
 
 
 def resize_parameters(bicubic: bool, t: int = 1 << 14,
-                      margin_bits: float = 10.0) -> BfvParams:
-    """Parameter choice for the encrypted resize (faithful ct*ct path)."""
+                      margin_bits: float = 10.0,
+                      plain_fracts: bool = False) -> BfvParams:
+    """Parameter choice for the encrypted resize (faithful ct*ct path by
+    default; plain_fracts selects the linear fast path's trajectory)."""
+    return select_parameters(
+        lambda par, enc: noise.estimate_resize_pipeline(
+            par, enc, bicubic, plain_fracts=plain_fracts
+        ),
+        t=t, margin_bits=margin_bits,
+    )
 
-    def sim(par, enc):
-        nb = noise.fresh(par)
-        tsq = noise.multiply(noise.fresh(par), noise.fresh(par))
-        if not bicubic:
-            # (1-t)*A + t*B then vertical pass
-            h = noise.multiply(nb, noise.fresh(par))
-            return noise.multiply(h, noise.fresh(par), 3, 2)
-        tcu = noise.multiply(tsq, noise.fresh(par), 3, 2)
-        h = noise.multiply(nb, tcu, 2, 4)  # a*t^3, size 5
-        return noise.multiply(h, tcu, 5, 4)  # vertical, size 8
 
-    return select_parameters(sim, t=t, margin_bits=margin_bits)
+def harmonics_decode_parameters(degree: int = 12, t: int = 1 << 14,
+                                margin_bits: float = 10.0) -> BfvParams:
+    """Parameter choice for the harmonic-expansion decode server op."""
+    return select_parameters(
+        lambda par, enc: noise.estimate_harmonics_decode(
+            par, enc, degree, mean=False
+        ),
+        t=t, margin_bits=margin_bits,
+    )

@@ -81,12 +81,23 @@ class PublicKey:
 class RelinKeys:
     """Evaluation keys for relinearizing s^k components (k >= 2) down to
     degree 1, using per-RNS-limb decomposition with optional 2^dbc
-    sub-digits.  keys[k] has shape uint32 [n_digits, 2, L, n] (NTT domain).
+    sub-digits (the reference's ``--dbc`` flag, parsed-but-unused there;
+    fhe_image.h:28).  keys[k] has shape uint32 [L*D, 2, L, n] (NTT domain),
+    digit order (limb i, sub-digit d): row (i, d) encrypts
+    2^(d*dbc) * w_i * s^k where w_i is the CRT basis element (1 mod p_i,
+    0 elsewhere).  digit_bits == 0 means one digit per limb (D = 1).
     """
 
-    keys: dict  # k -> np.ndarray [D, 2, L, n]
+    keys: dict  # k -> np.ndarray [L*D, 2, L, n]
     digit_bits: int
     params: BfvParams
+
+    @property
+    def n_subdigits(self) -> int:
+        if not self.digit_bits:
+            return 1
+        maxbits = max(int(p).bit_length() for p in self.params.q_primes)
+        return -(-maxbits // self.digit_bits)
 
 
 class KeyGenerator:
@@ -147,33 +158,43 @@ class KeyGenerator:
         par = self.params
         t = par.tables_q
         L, n = par.L, par.n
+        dbc = int(digit_bits or 0)
+        if dbc < 0 or dbc > 30:
+            raise ValueError("digit_bits must be in [0, 30] (primes are < 2^30)")
+        maxbits = max(int(q).bit_length() for q in par.q_primes)
+        D = -(-maxbits // dbc) if dbc else 1
         p = t.p.astype(np.uint64).reshape(-1, 1)
         s_ntt = self.secret.ntt_power(1)
         keys = {}
         # digit factors: for limb i, w_i = qhat_i * qhat_inv_i (the CRT
-        # basis element that is 1 mod p_i, 0 elsewhere)
-        consts = par.consts
+        # basis element that is 1 mod p_i, 0 elsewhere); with dbc, sub-digit
+        # d of limb i carries the extra plaintext factor 2^(d*dbc) mod p_i
         for k in range(2, max_power + 1):
             sk_ntt = self.secret.ntt_power(k)
             digs = []
             for i in range(L):
-                # key pair for digit i: (-(a s + e) + w_i * s^k, a) in NTT
-                a = self._uniform_rns(())
-                a_ntt = ntt.np_ntt(a, t)
-                e_ntt = ntt.np_ntt(_rns_lift_signed(self._gaussian((n,)), par.q_primes), t)
-                b = (
-                    p
-                    - (
-                        a_ntt.astype(np.uint64) * s_ntt.astype(np.uint64) % p
-                        + e_ntt.astype(np.uint64)
+                for d in range(D):
+                    # key pair: (-(a s + e) + 2^(d*dbc) * w_i * s^k, a), NTT
+                    a = self._uniform_rns(())
+                    a_ntt = ntt.np_ntt(a, t)
+                    e_ntt = ntt.np_ntt(
+                        _rns_lift_signed(self._gaussian((n,)), par.q_primes), t
                     )
-                    % p
-                ) % p
-                # add w_i * s^k: w_i is 1 mod p_i, 0 mod p_j (j != i)
-                b[i] = (b[i] + sk_ntt[i].astype(np.uint64)) % p[i]
-                digs.append(np.stack([b.astype(np.uint32), a_ntt]))
-            keys[k] = np.stack(digs)  # [L, 2, L, n]
-        return RelinKeys(keys=keys, digit_bits=digit_bits or 0, params=par)
+                    b = (
+                        p
+                        - (
+                            a_ntt.astype(np.uint64) * s_ntt.astype(np.uint64) % p
+                            + e_ntt.astype(np.uint64)
+                        )
+                        % p
+                    ) % p
+                    pow2 = (1 << (d * dbc)) % int(par.q_primes[i]) if dbc else 1
+                    b[i] = (
+                        b[i] + np.uint64(pow2) * sk_ntt[i].astype(np.uint64)
+                    ) % p[i]
+                    digs.append(np.stack([b.astype(np.uint32), a_ntt]))
+            keys[k] = np.stack(digs)  # [L*D, 2, L, n]
+        return RelinKeys(keys=keys, digit_bits=dbc, params=par)
 
 
 class Encryptor:

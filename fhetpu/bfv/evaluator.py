@@ -77,10 +77,27 @@ class PlainOperand:
 
 
 class DeviceRelinKeys:
-    """jnp copy of host RelinKeys (keys already in NTT domain)."""
+    """jnp copy of host RelinKeys (keys already in NTT domain).
+
+    ``stacked(size)`` concatenates keys[2..size-1] along the digit axis in
+    component order, matching the evaluator's flattened (component, limb,
+    sub-digit) digit layout -- one contraction instead of nested loops.
+    """
 
     def __init__(self, host_rk):
         self.keys = {k: jnp.asarray(v) for k, v in host_rk.keys.items()}
+        self.digit_bits = int(getattr(host_rk, "digit_bits", 0) or 0)
+        # digits per limb, derived from the key shape (keys[k]: [L*D, 2, L, n])
+        any_key = next(iter(self.keys.values()))
+        self.n_subdigits = any_key.shape[0] // any_key.shape[2]
+        self._stacked_cache: dict = {}
+
+    def stacked(self, size: int) -> jnp.ndarray:
+        if size not in self._stacked_cache:
+            self._stacked_cache[size] = jnp.concatenate(
+                [self.keys[k] for k in range(2, size)], axis=0
+            )
+        return self._stacked_cache[size]
 
 
 class Evaluator:
@@ -197,37 +214,47 @@ class Evaluator:
     def relinearize(self, a: Ct, rk) -> Ct:
         """Key-switch every component of degree >= 2 down to (c0, c1).
 
-        rk: DeviceRelinKeys.  Per-RNS-limb digit decomposition: digit i of a
-        degree-k component is its limb-i polynomial reduced into every limb,
-        multiplied in NTT domain against the key pair encrypting w_i * s^k.
+        rk: DeviceRelinKeys.  Digit decomposition is fully batched: every
+        (component k, limb i, sub-digit d) digit polynomial is built at
+        once, pushed through ONE batched NTT, contracted against the
+        stacked key tensor, and inverse-transformed once -- replacing the
+        round-1 L x (size-2) sequential small-NTT loop (VERDICT.md weak 8).
+
+        With digit_bits (dbc) set on the keys, each limb splits into D =
+        ceil(bits(p)/dbc) sub-digits of 2^dbc, trading D x more key
+        material and NTTs for ~bits(p)-dbc fewer bits of key-switch noise.
         """
         size = a.size
         if size <= 2:
             return a
         da = self.transform_from_ntt(a).data
-        L = self.params.L
-        c0 = da[..., 0, :, :]
-        c1 = da[..., 1, :, :]
-        acc0 = acc1 = None
-        for k in range(2, size):
-            ck = da[..., k, :, :]  # [..., L, n]
-            key = rk.keys[k]  # [L, 2, L, n] NTT domain
-            for i in range(L):
-                # digit poly: limb i of ck, reduced into all L limbs
-                d = ck[..., i, :][..., None, :]  # [..., 1, n], values < p_i
-                d_all = modops.mulmod(
-                    d, jnp.uint32(1), self.p, self.mu, self.shift
-                )  # broadcast-reduce into [..., L, n]
-                d_ntt = ntt.ntt(d_all, self.tables_q)
-                t0 = modops.mulmod(d_ntt, key[i, 0], self.p, self.mu, self.shift)
-                t1 = modops.mulmod(d_ntt, key[i, 1], self.p, self.mu, self.shift)
-                acc0 = t0 if acc0 is None else modops.addmod(acc0, t0, self.p)
-                acc1 = t1 if acc1 is None else modops.addmod(acc1, t1, self.p)
-        acc0 = ntt.intt(acc0, self.tables_q)
-        acc1 = ntt.intt(acc1, self.tables_q)
-        c0 = modops.addmod(c0, acc0, self.p)
-        c1 = modops.addmod(c1, acc1, self.p)
-        return Ct(jnp.stack([c0, c1], axis=-3), False)
+        L, n = self.params.L, self.params.n
+        K2 = size - 2
+        dbc, D = rk.digit_bits, rk.n_subdigits
+        comps = da[..., 2:, :, :]  # [..., K2, L, n]
+        if dbc:
+            mask = jnp.uint32((1 << dbc) - 1)
+            digs = jnp.stack(
+                [(comps >> jnp.uint32(d * dbc)) & mask for d in range(D)],
+                axis=-2,
+            )  # [..., K2, L, D, n]
+        else:
+            digs = comps[..., None, :]  # [..., K2, L, 1, n]
+        G = K2 * L * D
+        flat = digs.reshape(da.shape[:-3] + (G, 1, n))
+        # reduce each digit value (< p_i or < 2^dbc) into every limb
+        d_all = modops.mulmod(flat, jnp.uint32(1), self.p, self.mu, self.shift)
+        d_ntt = ntt.ntt(d_all, self.tables_q)  # [..., G, L, n]
+        key = rk.stacked(size)  # [G, 2, L, n] NTT domain
+        t01 = modops.mulmod(
+            d_ntt[..., :, None, :, :], key, self.p, self.mu, self.shift
+        )  # [..., G, 2, L, n]
+        acc = t01[..., 0, :, :, :]
+        for g in range(1, G):
+            acc = modops.addmod(acc, t01[..., g, :, :, :], self.p)
+        acc = ntt.intt(acc, self.tables_q)  # [..., 2, L, n]
+        c01 = modops.addmod(da[..., :2, :, :], acc, self.p)
+        return Ct(c01, False)
 
     def add_many(self, cts) -> Ct:
         """Sum of a list of ciphertexts (SEAL Evaluator::add_many)."""

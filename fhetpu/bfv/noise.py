@@ -57,11 +57,21 @@ class NoiseExhausted(RuntimeError):
     pass
 
 
-def fresh(params: BfvParams) -> NoiseBudget:
+# Typical l2 norm of a base-2 fractional encoding (~200 coefficients in
+# {-1,0,1}): the effective message-norm factor of the MEAN-case multiply
+# model, calibrated so the model's pass/fail frontier matches measured
+# behavior (jpeg/bilinear succeed at their working ring sizes; depth-4
+# unrelinearized bicubic at n=4096/t=2^14 is correctly rejected -- see
+# tests/test_noise.py and tests/test_resize.py:127).
+MEAN_MSG_L2 = 14.0
+
+
+def fresh(params: BfvParams, mean: bool = False) -> NoiseBudget:
     """Public-key encryption noise: e*u + e0 + e1*s with ternary u,s."""
     n, t, q = params.n, params.t, params.q
     b_err = 6.0 * params.sigma
-    bound = t / q * b_err * (2.0 * n + 1.0)
+    width = math.sqrt(2.0 * n + 1.0) if mean else (2.0 * n + 1.0)
+    bound = t / q * b_err * width
     return NoiseBudget(math.log2(bound), params)
 
 
@@ -74,23 +84,39 @@ def add_plain(a: NoiseBudget) -> NoiseBudget:
     return a
 
 
-def multiply_plain(a: NoiseBudget, operand_l1_norm: float) -> NoiseBudget:
-    return NoiseBudget(a.log2_noise + math.log2(max(operand_l1_norm, 1.0)), a.params)
+def multiply_plain(a: NoiseBudget, operand_norm: float) -> NoiseBudget:
+    """operand_norm: l1 of the centered operand for the worst-case model,
+    l2 (encoded_scalar_l2) for the mean-case model."""
+    return NoiseBudget(a.log2_noise + math.log2(max(operand_norm, 1.0)), a.params)
 
 
-def multiply(a: NoiseBudget, b: NoiseBudget, k1: int = 2, k2: int = 2) -> NoiseBudget:
+def multiply(a: NoiseBudget, b: NoiseBudget, k1: int = 2, k2: int = 2,
+             mean: bool = False) -> NoiseBudget:
     p = a.params
-    growth = math.log2(p.t * p.n * (k1 + k2))
+    if mean:
+        # central-limit width sqrt(n*(k1+k2)) x typical message l2 instead
+        # of the worst-case n*(k1+k2) x ||m||_inf<=t envelope
+        growth = math.log2(p.t * MEAN_MSG_L2 * math.sqrt(p.n * (k1 + k2)))
+    else:
+        growth = math.log2(p.t * p.n * (k1 + k2))
     base = _log2add(a.log2_noise, b.log2_noise) + growth
     # BEHZ fast-floor alpha error: <= L additive units of t/q scale
     alpha = math.log2(p.t * p.L) - p.q.bit_length()
     return NoiseBudget(_log2add(base, alpha), p)
 
 
-def relinearize(a: NoiseBudget) -> NoiseBudget:
+def relinearize(a: NoiseBudget, digit_bits: int = 0) -> NoiseBudget:
+    """Key-switch noise: sum over G digits of ||digit||_inf * n * B_err * t/q.
+    One digit per limb => ||digit|| < p_max; with dbc sub-digits =>
+    ||digit|| < 2^dbc but D = ceil(bits(p)/dbc) times as many digits."""
     p = a.params
     p_max = max(int(x) for x in p.q_primes)
-    ks = math.log2(p.L * p.n * p_max * 6.0 * p.sigma * p.t) - p.q.bit_length()
+    if digit_bits:
+        n_sub = -(-p_max.bit_length() // digit_bits)
+        digit_term = n_sub * (1 << digit_bits)
+    else:
+        digit_term = p_max
+    ks = math.log2(p.L * p.n * digit_term * 6.0 * p.sigma * p.t) - p.q.bit_length()
     return NoiseBudget(_log2add(a.log2_noise, ks), p)
 
 
@@ -100,20 +126,85 @@ def encoded_scalar_l1(encoder, value: float) -> float:
     return float(abs(coeffs).sum())
 
 
+def encoded_scalar_l2(encoder, value: float) -> float:
+    """l2 norm of the centered encoding (mean-case multiply_plain model)."""
+    coeffs = encoder.encode(value).balanced().astype(float)
+    return float((coeffs ** 2).sum() ** 0.5)
+
+
 def _log2add(x: float, y: float) -> float:
     hi, lo = (x, y) if x >= y else (y, x)
     return hi + math.log1p(2.0 ** (lo - hi)) / math.log(2.0)
 
 
-def estimate_jpeg_pipeline(params: BfvParams, encoder) -> NoiseBudget:
+def estimate_jpeg_pipeline(params: BfvParams, encoder,
+                           mean: bool = False) -> NoiseBudget:
     """Static estimate for the YCC+DCT pipeline: the worst slot passes
     through ~2 multiply_plain per DCT pass (x2 passes) plus the YCC combo
     and the 0.125 scale."""
-    nb = fresh(params)
-    ycc = multiply_plain(nb, encoded_scalar_l1(encoder, 0.587))
+    norm = encoded_scalar_l2 if mean else encoded_scalar_l1
+    nb = fresh(params, mean)
+    ycc = multiply_plain(nb, norm(encoder, 0.587))
     for _ in range(2):  # row + column pass, worst path ~2 chained const muls
-        ycc = multiply_plain(ycc, encoded_scalar_l1(encoder, 1.175875602))
-        ycc = multiply_plain(ycc, encoded_scalar_l1(encoder, -2.562915447))
-    ycc = multiply_plain(ycc, encoded_scalar_l1(encoder, 0.125))
-    # sums of 8 terms per pass
-    return NoiseBudget(ycc.log2_noise + math.log2(64), params)
+        ycc = multiply_plain(ycc, norm(encoder, 1.175875602))
+        ycc = multiply_plain(ycc, norm(encoder, -2.562915447))
+    ycc = multiply_plain(ycc, norm(encoder, 0.125))
+    # sums of 8 terms per pass (root-sum-square in the mean model)
+    width = math.log2(8.0) if mean else math.log2(64)
+    return NoiseBudget(ycc.log2_noise + width, params)
+
+
+def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,
+                             plain_fracts: bool = False,
+                             mean: bool = False) -> NoiseBudget:
+    """Noise trajectory of the resize server op.
+
+    Faithful mode multiplies ENCRYPTED fractional offsets (fhe_resize.h:
+    174-183): bilinear is 2 chained ct x ct (horizontal then vertical),
+    bicubic is the depth-4 t^3 chain into the 4x4 stencil combine.  The
+    plain-fract fast path replaces every ct x ct with multiply_plain by the
+    fract-polynomial encodings (same decrypted polynomials)."""
+    norm = encoded_scalar_l2 if mean else encoded_scalar_l1
+    nb = fresh(params, mean)
+    if plain_fracts:
+        # worst tap coefficient magnitude ~2.6 (Catmull-Rom), fract ~0.5;
+        # two passes (horizontal, vertical) of one const-mul + 4-term sum
+        taps = 4 if bicubic else 2
+        for _ in range(2):
+            nb = multiply_plain(nb, norm(encoder, -2.5625))
+            nb = NoiseBudget(nb.log2_noise + math.log2(float(taps)), params)
+        return nb
+    if not bicubic:
+        h = multiply(nb, fresh(params, mean), mean=mean)
+        return multiply(h, fresh(params, mean), 3, 2, mean=mean)
+    tsq = multiply(fresh(params, mean), fresh(params, mean), mean=mean)
+    tcu = multiply(tsq, fresh(params, mean), 3, 2, mean=mean)
+    h = multiply(nb, tcu, 2, 4, mean=mean)  # a*t^3, size 5
+    return multiply(h, tcu, 5, 4, mean=mean)  # vertical pass, size 8
+
+
+def estimate_harmonics_decode(params: BfvParams, encoder, degree: int,
+                              mean: bool = True) -> NoiseBudget:
+    """Fourier-harmonic expansion: one multiply_plain by a |cos|<=1 weight
+    encoding per harmonic, summed over 2*degree+1 terms."""
+    norm = encoded_scalar_l2 if mean else encoded_scalar_l1
+    nb = multiply_plain(fresh(params, mean), norm(encoder, 0.731))
+    width = math.sqrt(2.0 * degree + 1.0) if mean else (2.0 * degree + 1.0)
+    return NoiseBudget(nb.log2_noise + math.log2(width), params)
+
+
+def estimate_taylor_decode(params: BfvParams, encoder, relin_dbc=None,
+                           mean: bool = True) -> NoiseBudget:
+    """Pure-FHE Taylor step (pipelines.rle_decode.approximated_step_fhe):
+    deepest chain is the degree-10 power tower (4 chained ct x ct) plus the
+    sin*cos product and the final amplitude multiply."""
+    nb = fresh(params, mean)
+    for _ in range(4):  # y^10 = ((y^2)^2 * y^...) depth-4 chain
+        nb = multiply(nb, fresh(params, mean), mean=mean)
+        if relin_dbc is not None:
+            nb = relinearize(nb, relin_dbc)
+    nb = multiply(nb, nb, mean=mean)  # sin_b * cos_off
+    if relin_dbc is not None:
+        nb = relinearize(nb, relin_dbc)
+    nb = multiply(nb, fresh(params, mean), mean=mean)  # * amplitude
+    return nb

@@ -22,12 +22,38 @@ from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
                      make_params)
 
 
+DEFAULT_DEGREE, DEFAULT_DELTA, DEFAULT_ORDER = 12, 0.5, 64  # server_decode.cpp:37-39
+
+
+def apply_decode_defaults(args):
+    if args.degree is None:
+        args.degree = DEFAULT_DEGREE
+    if args.delta is None:
+        args.delta = DEFAULT_DELTA
+    if args.order is None:
+        args.order = DEFAULT_ORDER
+    return args
+
+
 def add_decode_flags(p):
-    p.add_argument("--degree", type=int, default=12)
-    p.add_argument("--delta", type=float, default=0.5)
-    p.add_argument("--order", type=int, default=64)
+    p.add_argument("--degree", type=int, default=None,
+                   help=f"Fourier terms (default {DEFAULT_DEGREE}; a server "
+                        "reading a harmonic stream adopts the wire's)")
+    p.add_argument("--delta", type=float, default=None,
+                   help=f"step widening (default {DEFAULT_DELTA})")
+    p.add_argument("--order", type=int, default=None,
+                   help=f"series period (default {DEFAULT_ORDER})")
     p.add_argument("--relin", action="store_true",
                    help="also save evaluation keys (for the pure-FHE server)")
+    p.add_argument("--dbc", type=int, default=0,
+                   help="relinearization digit decomposition bit count "
+                        "(0 = one digit per RNS limb; the reference parses "
+                        "--dbc but never uses it, fhe_image.h:28)")
+    p.add_argument("--harmonics", action="store_true",
+                   help="send aggregated encrypted Fourier harmonics instead "
+                        "of raw RLE pairs: the practical pure-FHE protocol "
+                        "(server needs no secret key, no approximation error "
+                        "beyond the Fourier series itself)")
     return p
 
 
@@ -43,6 +69,11 @@ def rle_encode(values: np.ndarray):
 
 
 def run_send(args):
+    apply_decode_defaults(args)
+    if args.harmonics:
+        from .common import auto_select_n
+
+        auto_select_n(args, "decode-harmonics", degree=args.degree)
     par = make_params(args)
     encoder = make_encoder(args)
     img = images.load_rgb(args.file)
@@ -53,14 +84,37 @@ def run_send(args):
     serial.save_secret_key(os.path.join(args.keydir, "seckey.npz"), kg.secret.small)
     serial.save_public_key(os.path.join(args.keydir, "pubkey.npz"), pk.data)
     if args.relin:
-        rk = kg.relin_keys(max_power=2)
+        rk = kg.relin_keys(max_power=2, digit_bits=args.dbc)
         np.savez_compressed(os.path.join(args.keydir, "evalkeys.npz"),
+                            digit_bits=np.int64(rk.digit_bits),
                             **{f"k{k}": v for k, v in rk.keys.items()})
     enc = Encryptor(par, pk)
     channel_pairs = [rle_encode(img[..., c].reshape(-1)) for c in range(3)]
+    t = OpTimer("Encryption")
+    if args.harmonics:
+        from ..pipelines.rle_decode import fourier_harmonics_host
+
+        H = 2 * args.degree + 1
+        with open(os.path.join(args.keydir, "params.txt"), "w") as f:
+            f.write(f"{w} {h} " + " ".join([str(H)] * 3) + "\n")
+        writer = serial.CtWriter(
+            args.coutfile, 2, par.L, par.n,
+            meta={"w": w, "h": h, "layout": "fourier-harmonics",
+                  "degree": args.degree, "order": args.order,
+                  "delta": args.delta},
+        )
+        for pairs in channel_pairs:
+            harm = fourier_harmonics_host(pairs, args.order, args.degree,
+                                          args.delta)
+            with t.span(len(harm)):
+                writer.append(enc.encrypt_batch(encoder.encode_batch(harm)))
+        writer.close()
+        t.emit()
+        if args.verbose:
+            print(f"harmonics per channel: {H}", file=sys.stderr)
+        return
     with open(os.path.join(args.keydir, "params.txt"), "w") as f:
         f.write(f"{w} {h} " + " ".join(str(len(p)) for p in channel_pairs) + "\n")
-    t = OpTimer("Encryption")
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
                              meta={"w": w, "h": h, "layout": "rle-pairs"})
     for pairs in channel_pairs:
@@ -100,7 +154,8 @@ def run_recieve(args):
         done += cts.shape[0]
     reader.close()
     t.emit()
-    vals = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # reference truncation (client_decode.cpp:204: int pixel = decode(p))
+    vals = np.clip(np.trunc(out), 0, 255).astype(np.uint8)
     # our server streams channel-planar (one batched dispatch per channel);
     # the reference's is pixel-interleaved (server_decode.cpp:139-143) --
     # honor whichever the stream header declares

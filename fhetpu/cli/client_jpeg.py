@@ -19,11 +19,12 @@ import numpy as np
 from ..bfv.crypto import Decryptor, Encryptor, KeyGenerator, SecretKey, PublicKey
 from ..codec import jpeg as jpeg_codec
 from ..io import images, serial
-from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params)
+from .common import (OpTimer, adopt_stream_params, auto_select_n, base_parser,
+                     make_encoder, make_params)
 
 
 def run_send(args):
+    auto_select_n(args, "jpeg")
     par = make_params(args)
     encoder = make_encoder(args)
     img = images.load_rgb(args.file)

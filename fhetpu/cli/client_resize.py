@@ -15,8 +15,8 @@ import numpy as np
 
 from ..bfv.crypto import Decryptor, Encryptor, KeyGenerator, SecretKey
 from ..io import images, serial
-from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params)
+from .common import (OpTimer, adopt_stream_params, auto_select_n, base_parser,
+                     make_encoder, make_params)
 
 
 def add_resize_flags(p):
@@ -36,6 +36,8 @@ def add_resize_flags(p):
 
 
 def run_send(args):
+    auto_select_n(args, "resize", bicubic=args.bicubic,
+                  plain_fracts=args.plain_fracts)
     par = make_params(args)
     encoder = make_encoder(args)
     img = images.load_rgb(args.file)
@@ -89,12 +91,17 @@ def run_recieve(args):
         done += cts.shape[0]
     reader.close()
     t.emit()
-    pix = np.clip(np.rint(out), 0, 255).astype(np.uint8).reshape(h2, w2, 3)
-    # RMS vs the OpenCV-equivalent ground truth (fhe_resize.h:35-68)
-    from ..pipelines.cv_resize import cv_resize
+    # reference decode: `int pixel = encoder.decode(p); CLAMP(pixel,0,255)`
+    # (client_resize.cpp:203-209) -- C truncation toward zero, NOT rounding;
+    # all decrypted values are exact dyadic rationals so this is
+    # deterministic and required for RMS parity with results.txt
+    pix = np.clip(np.trunc(out), 0, 255).astype(np.uint8).reshape(h2, w2, 3)
+    # RMS vs the OpenCV ground truth (fhe_resize.h:35-68): real cv2 when
+    # present, else the bit-exact fixed-point uint8 model
+    from ..pipelines.cv_resize import cv_ground_truth
 
     orig = images.load_rgb(args.file)
-    gt = cv_resize(orig, w2, h2, args.bicubic)
+    gt = cv_ground_truth(orig, w2, h2, args.bicubic)
     print(f"RMSError,{images.rms_error(pix, gt):.6g},")
     images.save_rgb(args.outfile, pix)
 

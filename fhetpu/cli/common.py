@@ -56,6 +56,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="jax platform override (cpu/tpu/axon); empty = default")
     p.add_argument("--chunk-blocks", type=int, default=64,
                    help="blocks per device dispatch (streaming window)")
+    p.add_argument("--no-noise-check", action="store_true",
+                   help="skip the pre-dispatch invariant-noise budget check")
     return p
 
 
@@ -98,6 +100,38 @@ def adopt_stream_params(args, reader=None, pmod=None):
         args.pmod = pmod
 
 
+def auto_select_n(args, pipeline: str, bicubic: bool = False,
+                  plain_fracts: bool = False, degree: int = 12):
+    """When --send omits --cmod, pick the smallest ring degree whose
+    worst-case noise estimate survives the pipeline (SEAL 2.3's
+    ChooserEvaluator role, reference tests/parameters.cpp) instead of a
+    blind default."""
+    if args.cmod is not None:
+        return
+    if args.pmod is None:
+        args.pmod = DEFAULT_PLAIN_MODULUS
+    import sys as _sys
+
+    from ..bfv import chooser, noise
+
+    try:
+        if pipeline == "jpeg":
+            par = chooser.jpeg_parameters(t=args.pmod)
+        elif pipeline == "resize":
+            par = chooser.resize_parameters(bicubic, t=args.pmod,
+                                            plain_fracts=plain_fracts)
+        elif pipeline == "decode-harmonics":
+            par = chooser.harmonics_decode_parameters(degree, t=args.pmod)
+        else:
+            return
+    except noise.NoiseExhausted as e:
+        raise SystemExit(str(e))
+    args.cmod = par.n
+    print(f"[chooser] --cmod omitted: selected n={par.n} for the {pipeline}"
+          f"{' (bicubic)' if bicubic else ''} pipeline at t={args.pmod}",
+          file=_sys.stderr)
+
+
 def make_params(args) -> BfvParams:
     _apply_param_defaults(args)
     return BfvParams.create(n=args.cmod, t=args.pmod)
@@ -108,6 +142,27 @@ def make_encoder(args) -> FractionalEncoder:
     return FractionalEncoder(
         args.pmod, args.cmod, args.ncoeff, args.fcoeff, args.base
     )
+
+
+def runtime_noise_check(args, budget, where: str):
+    """First-class failure detection (SURVEY.md section 5): refuse to start
+    a server op whose mean-case noise estimate is already exhausted, instead
+    of discovering RMS=114 garbage after the chip-hour (the reference's only
+    signal, benchmark/results.txt).  --verbose prints the remaining budget;
+    --no-noise-check bypasses."""
+    import sys as _sys
+
+    from ..bfv.noise import NoiseExhausted
+
+    if getattr(args, "no_noise_check", False):
+        return
+    try:
+        budget.check(where)
+    except NoiseExhausted as e:
+        raise SystemExit(f"{e}\n(--no-noise-check runs it anyway)")
+    if args.verbose:
+        print(f"[noise] {where}: ~{budget.budget_bits:.0f} bits of invariant-"
+              "noise budget remain (mean-case estimate)", file=_sys.stderr)
 
 
 class OpTimer:

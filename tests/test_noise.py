@@ -60,6 +60,46 @@ def test_frontier_matches_reference():
         deep_small.check("bicubic")
 
 
+def test_mean_case_runtime_frontier():
+    """The mean-case model behind the servers' pre-dispatch check must pass
+    every configuration measured to work and reject the ones measured to
+    fail (tests/test_bfv.py, test_resize.py, test_decode.py):
+
+      works: jpeg@2048, plain-fract bilinear@2048, ct*ct bilinear@4096,
+             ct*ct bicubic@4096/t=64, ct*ct bicubic@8192/t=2^14
+      fails: ct*ct bicubic@4096/t=2^14 (the reference's noise-death mode)
+    """
+    t14 = 1 << 14
+
+    def est(n, t, kind, **kw):
+        par = BfvParams.create(n=n, t=t)
+        enc = FractionalEncoder(t, n)
+        if kind == "jpeg":
+            return noise.estimate_jpeg_pipeline(par, enc, mean=True)
+        return noise.estimate_resize_pipeline(par, enc, mean=True, **kw)
+
+    assert not est(2048, t14, "jpeg").exhausted()
+    assert not est(2048, t14, "rz", bicubic=False, plain_fracts=True).exhausted()
+    assert not est(4096, t14, "rz", bicubic=False).exhausted()
+    assert not est(4096, 64, "rz", bicubic=True).exhausted()
+    assert not est(8192, t14, "rz", bicubic=True).exhausted()
+    assert est(4096, t14, "rz", bicubic=True).exhausted()
+    assert est(2048, t14, "rz", bicubic=True).exhausted()
+
+
+def test_chooser_auto_selection():
+    """ChooserEvaluator role: smallest safe ring degree per pipeline."""
+    from fhetpu.bfv import chooser
+
+    assert chooser.jpeg_parameters().n == 4096
+    assert chooser.resize_parameters(bicubic=False).n == 4096
+    assert chooser.resize_parameters(bicubic=True).n >= 8192
+    # worst-case chooser is deliberately more conservative than the
+    # mean-case runtime check (which admits bicubic@4096/t=64)
+    assert chooser.resize_parameters(bicubic=True, t=64).n <= 8192
+    assert chooser.harmonics_decode_parameters().n <= 4096
+
+
 def test_jpeg_estimate_positive_at_reference_params():
     # n=2048 is flagged marginal by the conservative bound (real runs
     # succeed -- worst-case l1 products overestimate the CLT-concentrated

