@@ -31,7 +31,15 @@ def _time_call(jloop, x, k):
 def measure(jloop, x, label, verbose=True, target_seconds=TARGET_SECONDS):
     """Robust per-iteration seconds for jloop(x, k) (one jitted executable,
     dynamic trip count).  Returns (sec_per_iter, k_used, dt)."""
-    jloop(x, 1).block_until_ready()  # compile + warmup
+    import numpy as np
+
+    # warmup must FETCH, not just block: on the remote-TPU (axon) backend
+    # with the persistent compile cache, block_until_ready returns while
+    # the async remote compile is still in flight -- only materializing
+    # the bytes forces it (measured: block=0.1ms vs fetch=164s on the
+    # first post-warmup call).  Timed calls below are trustworthy once
+    # the executable exists.
+    np.asarray(jloop(x, 1))
     # rough estimate from a k=8 call (absolute, includes dispatch floor)
     t8 = _time_call(jloop, x, 8)
     est_per_iter = max(t8 / 8.0, 1e-6)

@@ -169,12 +169,53 @@ def _intt_impl(xp, x, tables: NttTables):
     return xp_mulmod_shoup(xp, a, ninv, ninv_s, p_col)
 
 
+def _use_pallas(x, tables: NttTables) -> bool:
+    """Route small-batch TPU transforms to the single-pass Pallas kernel.
+
+    Measured on v5e (bench_core.json): the Pallas kernel has a
+    batch-size-independent ~1.4 us/poly cost, while the staged-XLA graph
+    pays a ~260 us floor that only amortizes at large batches -- Pallas
+    wins below ~180 polys (91 vs 258 us at B=64, n=4096, L=4), XLA wins
+    above (283 vs 363 us at B=256).  Large L*n configs whose resident
+    twiddle tables exceed VMEM stay on the staged graph."""
+    import os as _os
+
+    if _os.environ.get("FHETPU_PALLAS_NTT", "1") == "0":
+        return False
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    L = len(tables.primes)
+    if tables.n < 256 or tables.n % 128:
+        return False
+    if 2 * (tables.logn + 1) * L * tables.n * 4 > 4 * 1024 * 1024:
+        return False  # stage tables would crowd VMEM (e.g. n=8192, L=8)
+    if x.shape[-2:] != (L, tables.n):
+        return False
+    batch = 1
+    for d in x.shape[:-2]:
+        batch *= d
+    return batch <= 128
+
+
 def ntt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
     """Device forward NTT, batched over leading axes of [..., L, n]."""
+    if _use_pallas(x, tables):
+        from . import pallas_ntt
+
+        return pallas_ntt.make_ntt(tables, forward=True)(x)
     return _ntt_impl(jnp, x, tables)
 
 
 def intt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
+    if _use_pallas(x, tables):
+        from . import pallas_ntt
+
+        return pallas_ntt.make_ntt(tables, forward=False)(x)
     return _intt_impl(jnp, x, tables)
 
 

@@ -72,3 +72,26 @@ def test_convolution_x_shift():
     want = np.zeros(n, dtype=np.uint32)
     want[0] = p - 1
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_ntt_matches_staged():
+    """Single-pass Pallas kernel (interpret mode on CPU) is elementwise
+    identical to the staged-XLA NTT and roundtrips, incl. a non-multiple
+    batch exercising the pad/slice path (core/pallas_ntt.py)."""
+    from fhetpu.core.pallas_ntt import make_ntt
+
+    rng = np.random.default_rng(7)
+    n = 256
+    t = _tables(n)
+    L = len(t.primes)
+    x = np.stack(
+        [rng.integers(0, p, size=(3, n), dtype=np.uint64) for p in t.primes],
+        axis=-2,
+    ).astype(np.uint32)
+    ref = np.asarray(ntt.ntt(jnp.asarray(x), t))
+    fwd = make_ntt(t, forward=True, rows_per_block=2, interpret=True)
+    inv = make_ntt(t, forward=False, rows_per_block=2, interpret=True)
+    got = np.asarray(fwd(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
+    back = np.asarray(inv(jnp.asarray(got)))
+    np.testing.assert_array_equal(back, x)
