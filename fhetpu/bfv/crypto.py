@@ -31,6 +31,40 @@ def _rns_lift_signed(small: np.ndarray, primes) -> np.ndarray:
     return np.stack(out, axis=-2)
 
 
+def _lift_forward_i8(u: np.ndarray, tables, nlib=None) -> np.ndarray:
+    """NTT(lift(u)) for small signed int8 [..., n] -> uint32 [..., L, n],
+    fused in one native pass (no int64 temporaries) when available."""
+    if nlib is None:
+        from .. import native
+
+        nlib = native.lib()
+    L, n = len(tables.primes), tables.n
+    if nlib is not None and u.shape[-1] == n:
+        import ctypes
+
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u_c = np.ascontiguousarray(u, dtype=np.int8)
+        batch = int(np.prod(u.shape[:-1], dtype=np.int64))
+        out = np.empty(u.shape[:-1] + (L, n), dtype=np.uint32)
+        from .. import native as _nat
+
+        nlib.fastntt_lift_forward_i8(
+            u_c.ctypes.data_as(i8p), out.ctypes.data_as(u32p), batch, L, n,
+            tables.psi_br.ctypes.data_as(u32p),
+            tables.psi_br_shoup.ctypes.data_as(u32p),
+            np.ascontiguousarray(tables.p.reshape(-1)).ctypes.data_as(u32p),
+            _nat.default_threads(),
+        )
+        return out
+    from ..core import ntt as _ntt
+
+    return _ntt.np_ntt(
+        _rns_lift_signed(u.astype(np.int64), [int(p) for p in tables.primes]),
+        tables,
+    )
+
+
 def centered_lift_plain(coeffs_mod_t: np.ndarray, params: BfvParams) -> np.ndarray:
     """[0,t) plaintext coeffs [..., n] -> centered RNS uint32 [..., L, n].
 
@@ -203,12 +237,14 @@ class Encryptor:
         self.pk_ntt = public_key.ntt()
         self.rng = np.random.default_rng(seed)
 
-    def encrypt_batch(self, coeffs_mod_t: np.ndarray, chunk: int = 512) -> np.ndarray:
+    def encrypt_batch(self, coeffs_mod_t: np.ndarray, chunk: int = 256) -> np.ndarray:
         """Encrypt plaintext coeff arrays [B, n] (mod t) -> uint32 [B, 2, L, n].
 
         ct = (pk0*u + e0 + Delta*m~, pk1*u + e1) with fresh ternary u and
         gaussian e per ciphertext; all polynomial products via batched NTT.
         """
+        from .. import native
+
         par = self.params
         t = par.tables_q
         B = coeffs_mod_t.shape[0]
@@ -217,12 +253,13 @@ class Encryptor:
         out = np.empty((B, 2, par.L, par.n), dtype=np.uint32)
         sig = par.sigma
         bound = int(MAX_ERROR_MULT * sig)
+        nlib = native.lib()
         p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         for lo in range(0, B, chunk):
             hi = min(lo + chunk, B)
             nb = hi - lo
             u = self.rng.integers(-1, 2, size=(nb, par.n), dtype=np.int8)
-            u_ntt = ntt.np_ntt(_rns_lift_signed(u.astype(np.int64), par.q_primes), t)
+            u_ntt = _lift_forward_i8(u, t, nlib)
             # [nb, 2, L, n] = pk_ntt[None] * u_ntt[:, None] (native kernels)
             prod = np.stack(
                 [ntt.np_pointwise_mulmod(u_ntt, self.pk_ntt[c], t) for c in (0, 1)],
@@ -230,15 +267,43 @@ class Encryptor:
             )
             ct = ntt.np_intt(prod, t)
             e = np.clip(
-                np.rint(self.rng.normal(0.0, sig, size=(nb, 2, par.n))), -bound, bound
-            ).astype(np.int64)
-            ct = modops.np_addmod_b(ct, _rns_lift_signed(e, par.q_primes), p64)
-            dm = modops.np_mulmod_b(
-                centered_lift_plain(coeffs_mod_t[lo:hi], par),
-                consts.delta_mod_q, p64, mu64, sh64,
-            )
-            ct[:, 0] = modops.np_addmod_b(ct[:, 0], dm, p64)
-            out[lo:hi] = ct.astype(np.uint32)
+                np.rint(self.rng.normal(0.0, sig, size=(nb, 2, par.n))
+                        .astype(np.float32)),
+                -bound, bound,
+            ).astype(np.int32)
+            mc = coeffs_mod_t[lo:hi].astype(np.int64)
+            m_centered = np.where(
+                mc >= par.plain_upper_half_threshold, mc - par.t, mc
+            ).astype(np.int32)
+            if nlib is not None:
+                import ctypes
+
+                ct = np.ascontiguousarray(ct, dtype=np.uint32)
+                u32p = ctypes.POINTER(ctypes.c_uint32)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                e_c = np.ascontiguousarray(e)
+                m_c = np.ascontiguousarray(m_centered)
+                delta = np.ascontiguousarray(
+                    consts.delta_mod_q.reshape(-1).astype(np.uint32)
+                )
+                p_arr = np.ascontiguousarray(t.p.reshape(-1))
+                nlib.fastntt_encrypt_finish(
+                    ct.ctypes.data_as(u32p), e_c.ctypes.data_as(i32p),
+                    m_c.ctypes.data_as(i32p), nb, par.L, par.n,
+                    delta.ctypes.data_as(u32p), p_arr.ctypes.data_as(u32p),
+                    native.default_threads(),
+                )
+                out[lo:hi] = ct
+            else:
+                ct = modops.np_addmod_b(
+                    ct, _rns_lift_signed(e.astype(np.int64), par.q_primes), p64
+                )
+                dm = modops.np_mulmod_b(
+                    _rns_lift_signed(m_centered.astype(np.int64), par.q_primes),
+                    consts.delta_mod_q, p64, mu64, sh64,
+                )
+                ct[:, 0] = modops.np_addmod_b(ct[:, 0], dm, p64)
+                out[lo:hi] = ct.astype(np.uint32)
         return out
 
     def encrypt(self, plain: Plaintext) -> np.ndarray:
@@ -270,15 +335,23 @@ class Decryptor:
             acc = np.where(acc >= p32, acc - p32, acc)
         return ntt.np_intt(acc, t)
 
-    def decrypt_batch(self, cts: np.ndarray, ntt_form: bool = False) -> np.ndarray:
+    def decrypt_batch(self, cts: np.ndarray, ntt_form: bool = False,
+                      chunk: int = 128) -> np.ndarray:
         """uint32 [B, size, L, n] -> plaintext coeffs int64 [B, n] in [0,t).
 
         m = round(t * x / q) mod t computed limb-wise:
         z_i = x_i * qhat_i^-1 mod p_i;  t*x/q == sum_i z_i * t / p_i (mod t),
         summed in float64 with an exact big-int fallback for coefficients
-        whose fractional part lands within 1e-6 of 0.5.
+        whose fractional part lands within 1e-6 of 0.5.  Chunked over the
+        batch: the working set per ciphertext is ~10 copies of 2*L*n words,
+        and letting it grow past the host cache thrashes (measured 3-4x).
         """
         par = self.params
+        if cts.ndim == 4 and cts.shape[0] > chunk:
+            return np.concatenate([
+                self.decrypt_batch(cts[lo:lo + chunk], ntt_form, chunk)
+                for lo in range(0, cts.shape[0], chunk)
+            ])
         consts = par.consts
         x = self._dot_secret(cts, ntt_form)  # [B, L, n]
         t_tab = par.tables_q

@@ -64,6 +64,16 @@ def lib():
                 u32p, u32p, u32p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, u32p, ctypes.c_int,
             ]
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            L.fastntt_encrypt_finish.argtypes = [
+                u32p, i32p, i32p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, u32p, u32p, ctypes.c_int,
+            ]
+            L.fastntt_lift_forward_i8.argtypes = [
+                i8p, u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                u32p, u32p, u32p, ctypes.c_int,
+            ]
             _LIB = L
         except OSError as e:
             print(f"fhetpu.native: load failed ({e}); using NumPy fallback",

@@ -18,6 +18,20 @@
 
 namespace {
 
+// Barrett for p < 2^31 with mu = floor(2^64 / p): for x < 2^62,
+// q = floor(x*mu / 2^64) >= floor(x/p) - 1, so one conditional subtract.
+inline uint64_t barrett_mu(uint64_t p) {
+    return (uint64_t)(((unsigned __int128)1 << 64) / p);
+}
+
+inline uint32_t mulmod_barrett(uint64_t a, uint64_t b, uint64_t p, uint64_t mu) {
+    uint64_t x = a * b;  // < 2^62
+    uint64_t q = (uint64_t)(((unsigned __int128)x * mu) >> 64);
+    uint64_t r = x - q * p;
+    if (r >= p) r -= p;
+    return (uint32_t)r;
+}
+
 inline uint32_t mulmod_shoup(uint32_t x, uint32_t w, uint32_t w_sh, uint32_t p) {
     uint32_t q = (uint32_t)(((uint64_t)x * w_sh) >> 32);
     uint32_t r = x * w - q * p;  // mod 2^32; true value < 2p
@@ -140,9 +154,71 @@ void fastntt_pointwise_mulmod(const uint32_t* a, const uint32_t* b,
             const uint32_t* bv = b + bk * n;
             uint32_t* ov = out + k * n;
             uint64_t pp = p[limb];
+            uint64_t mu = barrett_mu(pp);
             for (int j = 0; j < n; j++) {
-                ov[j] = (uint32_t)(((uint64_t)av[j] * bv[j]) % pp);
+                ov[j] = mulmod_barrett(av[j], bv[j], pp, mu);
             }
+        }
+    });
+}
+
+// Encrypt tail, fused (replaces three divide-heavy NumPy passes):
+//   ct[b,c,i,:] += lift(e[b,c,:]) mod p_i            (gaussian noise)
+//   ct[b,0,i,:] += delta_i * lift(m[b,:]) mod p_i    (Delta * message)
+// ct [batch, 2, L, n] uint32 in-place; e [batch, 2, n] int32 with |e| < p;
+// m [batch, n] int32 centered (already c-t for c >= (t+1)/2), |m| < p;
+// delta, p [L] uint32.
+void fastntt_encrypt_finish(uint32_t* ct, const int32_t* e, const int32_t* m,
+                            int64_t batch, int L, int n,
+                            const uint32_t* delta, const uint32_t* p,
+                            int threads) {
+    parallel_over(batch * 2 * L, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int limb = (int)(k % L);
+            int c = (int)((k / L) % 2);
+            int64_t b = k / (2 * L);
+            uint32_t pp = p[limb];
+            uint64_t mu = barrett_mu(pp);
+            uint32_t* v = ct + k * n;
+            const int32_t* ev = e + (b * 2 + c) * n;
+            for (int j = 0; j < n; j++) {
+                int32_t x = ev[j];
+                uint32_t el = x < 0 ? (uint32_t)(x + (int64_t)pp) : (uint32_t)x;
+                v[j] = addmod(v[j], el, pp);
+            }
+            if (c == 0) {
+                const int32_t* mv = m + b * n;
+                uint64_t d = delta[limb];
+                for (int j = 0; j < n; j++) {
+                    int32_t x = mv[j];
+                    uint32_t ml =
+                        x < 0 ? (uint32_t)(x + (int64_t)pp) : (uint32_t)x;
+                    v[j] = addmod(v[j], mulmod_barrett(ml, d, pp, mu), pp);
+                }
+            }
+        }
+    });
+}
+
+// out[b, i, :] = NTT_i(lift_i(u[b, :])): signed-int8 ternary/small input
+// lifted into each RNS limb and transformed, one pass, no int64 temps.
+void fastntt_lift_forward_i8(const int8_t* u, uint32_t* out, int64_t batch,
+                             int L, int n, const uint32_t* psi,
+                             const uint32_t* psi_sh, const uint32_t* p,
+                             int threads) {
+    parallel_over(batch * L, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t k = lo; k < hi; k++) {
+            int limb = (int)(k % L);
+            int64_t b = k / L;
+            uint32_t pp = p[limb];
+            uint32_t* v = out + k * n;
+            const int8_t* uv = u + b * n;
+            for (int j = 0; j < n; j++) {
+                int32_t x = uv[j];
+                v[j] = x < 0 ? (uint32_t)(x + (int64_t)pp) : (uint32_t)x;
+            }
+            ntt_poly(v, n, psi + (int64_t)limb * n, psi_sh + (int64_t)limb * n,
+                     pp);
         }
     });
 }

@@ -142,13 +142,23 @@ def main():
         open(p, "w").close()
         return p
 
-    if "jpeg" in todo and "kung" in imgs:
+    if "jpeg" in todo and "boaz" in imgs:
+        # the reference's committed jpg rows came from boazbarak.jpg 48x48
+        # (benchmark/benchmark.py:5-9 -> results.txt:38-47)
+        log = log_path("jpeg_boaz_n4096")
+        r = roundtrip("jpeg", imgs["boaz"], log, args.workdir, n=4096,
+                      platform=args.platform)
+        results["jpeg_boaz_n4096"] = {**r, "ops": aggregate(log)}
+        print("jpeg done", results["jpeg_boaz_n4096"]["ops"].get("RMSError"),
+              flush=True)
+    if "jpegkung" in todo and "kung" in imgs:
+        # optional large-image run (176x216 kung crop = 594 blocks, ~14.6 GB
+        # of ciphertext stream at n=4096): not part of the reference grid
         log = log_path("jpeg_kung_n4096")
         r = roundtrip("jpeg", imgs["kung"], log, args.workdir, n=4096,
                       platform=args.platform)
         results["jpeg_kung_n4096"] = {**r, "ops": aggregate(log)}
-        print("jpeg done", results["jpeg_kung_n4096"]["ops"].get("RMSError"),
-              flush=True)
+        print("jpeg kung done", flush=True)
 
     if "bilinear" in todo and "boaz" in imgs:
         log = log_path("bilinear_boaz_halfres")
