@@ -74,27 +74,31 @@ def main(argv=None):
 
     # streaming source-row window (the reference's 2/4-row slide,
     # fhe_resize.h:324-379, generalized to per-tile ranges): source rows are
-    # consumed monotonically, so only [win_lo, win_hi) rows live in memory
+    # consumed monotonically, so only [win_lo, win_hi) rows live in memory.
+    # Like the reference's slide (which loads-or-skips but ALWAYS reads every
+    # row from the stream, fhe_resize.h:353-379), rows consumed from the
+    # reader are tracked separately from the in-memory window: when
+    # consecutive tiles leave a gap between row stencils (e.g. bilinear
+    # 48->17, step 3), gap rows are read and discarded, never silently
+    # skipped -- skipping desynchronizes every later read.
     window = None  # np [rows, w, 3, 2, L, n]
     win_lo = 0
+    rows_read = 0  # total source rows consumed from the stream
 
     def advance_to(lo, hi):
-        nonlocal window, win_lo
-        if window is None:
-            take = reader.read(hi * w * 3)
-            window = take.reshape(-1, w, 3, 2, par.L, par.n)
-            win_lo = 0
+        nonlocal window, win_lo, rows_read
+        if rows_read < hi:
+            more = reader.read((hi - rows_read) * w * 3)
+            assert more is not None, "source stream truncated"
+            more = more.reshape(-1, w, 3, 2, par.L, par.n)
+            window = more if window is None else np.concatenate(
+                [window, more], axis=0
+            )
+            rows_read = hi
         drop = lo - win_lo
         if drop > 0:
             window = window[drop:]
             win_lo = lo
-        have = win_lo + window.shape[0]
-        if have < hi:
-            more = reader.read((hi - have) * w * 3)
-            assert more is not None, "source stream truncated"
-            window = np.concatenate(
-                [window, more.reshape(-1, w, 3, 2, par.L, par.n)], axis=0
-            )
         return window
 
     for y0 in range(0, h2, tile):

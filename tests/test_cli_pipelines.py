@@ -57,6 +57,40 @@ def test_resize_cli_roundtrip(tmp_path):
     assert images.rms_error(ours, want) < 1.0
 
 
+def test_resize_cli_streaming_gap_regression(tmp_path):
+    """Regression for the streaming-window row-skip bug (VERDICT.md round-2
+    item 1): when consecutive output tiles leave a GAP between their source
+    row stencils (here 24->8 bilinear, step 3, 2-tap stencil, 4-row tiles:
+    source rows 11-12 fall between tile stencils), the gap rows must still be
+    consumed from the ciphertext stream -- the reference's sliding window
+    always reads every row (fhe_resize.h:353-379).  Skipping desynchronized
+    every read after output row 4 (RMS 29.49 instead of 17.96 at the
+    reference's own 48->17 benchmark config)."""
+    from fhetpu.cli import client_resize, server_resize
+    from fhetpu.pipelines.resize import BILINEAR, resize_float
+
+    d = str(tmp_path)
+    img_path, img = _write_img(tmp_path, 24, 6)
+    size = ["--width", "3", "--height", "8"]
+    client_resize.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", str(N)] + size
+    )
+    server_resize.main(
+        ["-i", os.path.join(d, "c2s.bin"), "-c", os.path.join(d, "s2c.bin"),
+         "--keydir", os.path.join(d, "keys"), "--plain-fracts",
+         "--tile-rows", "4", "--platform", "cpu"] + size
+    )
+    out_png = os.path.join(d, "out.png")
+    client_resize.main(
+        ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
+         "-o", out_png, "--keydir", os.path.join(d, "keys")] + size
+    )
+    ours = images.load_rgb(out_png).astype(np.float64)
+    want = np.clip(resize_float(img.astype(np.float64), 8, 3, BILINEAR), 0, 255)
+    assert images.rms_error(ours, want) < 1.0
+
+
 def test_decode_cli_roundtrip(tmp_path):
     from fhetpu.cli import client_decode, server_decode
 
