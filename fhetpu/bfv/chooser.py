@@ -60,12 +60,14 @@ def jpeg_parameters(t: int = 1 << 14, margin_bits: float = 10.0) -> BfvParams:
 
 def resize_parameters(bicubic: bool, t: int = 1 << 14,
                       margin_bits: float = 10.0,
-                      plain_fracts: bool = False) -> BfvParams:
+                      plain_fracts: bool = False,
+                      relin_dbc=None) -> BfvParams:
     """Parameter choice for the encrypted resize (faithful ct*ct path by
-    default; plain_fracts selects the linear fast path's trajectory)."""
+    default; plain_fracts selects the linear fast path's trajectory;
+    relin_dbc models relinearize-after-every-multiply)."""
     return select_parameters(
         lambda par, enc: noise.estimate_resize_pipeline(
-            par, enc, bicubic, plain_fracts=plain_fracts
+            par, enc, bicubic, plain_fracts=plain_fracts, relin_dbc=relin_dbc
         ),
         t=t, margin_bits=margin_bits,
     )

@@ -272,6 +272,13 @@ class Encryptor:
                 -bound, bound,
             ).astype(np.int32)
             mc = coeffs_mod_t[lo:hi].astype(np.int64)
+            # the native kernel takes int32 centered messages: |m| <= t/2,
+            # so t must fit -- guard instead of silently wrapping (a t >=
+            # 2^31 would corrupt every ciphertext)
+            assert par.t < (1 << 31), (
+                f"plain modulus t={par.t} >= 2^31 overflows the int32 "
+                "centered-message path of encrypt_batch"
+            )
             m_centered = np.where(
                 mc >= par.plain_upper_half_threshold, mc - par.t, mc
             ).astype(np.int32)

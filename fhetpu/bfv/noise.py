@@ -156,14 +156,16 @@ def estimate_jpeg_pipeline(params: BfvParams, encoder,
 
 def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,
                              plain_fracts: bool = False,
-                             mean: bool = False) -> NoiseBudget:
+                             mean: bool = False,
+                             relin_dbc=None) -> NoiseBudget:
     """Noise trajectory of the resize server op.
 
     Faithful mode multiplies ENCRYPTED fractional offsets (fhe_resize.h:
     174-183): bilinear is 2 chained ct x ct (horizontal then vertical),
     bicubic is the depth-4 t^3 chain into the 4x4 stencil combine.  The
     plain-fract fast path replaces every ct x ct with multiply_plain by the
-    fract-polynomial encodings (same decrypted polynomials)."""
+    fract-polynomial encodings (same decrypted polynomials).  With
+    relin_dbc (not None), every ct x ct is keyswitched back to size 2."""
     norm = encoded_scalar_l2 if mean else encoded_scalar_l1
     nb = fresh(params, mean)
     if plain_fracts:
@@ -174,9 +176,19 @@ def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,
             nb = multiply_plain(nb, norm(encoder, -2.5625))
             nb = NoiseBudget(nb.log2_noise + math.log2(float(taps)), params)
         return nb
+
+    def rl(x: NoiseBudget) -> NoiseBudget:
+        return relinearize(x, relin_dbc) if relin_dbc is not None else x
+
     if not bicubic:
-        h = multiply(nb, fresh(params, mean), mean=mean)
-        return multiply(h, fresh(params, mean), 3, 2, mean=mean)
+        h = rl(multiply(nb, fresh(params, mean), mean=mean))
+        k1 = 2 if relin_dbc is not None else 3
+        return rl(multiply(h, fresh(params, mean), k1, 2, mean=mean))
+    if relin_dbc is not None:
+        tsq = rl(multiply(fresh(params, mean), fresh(params, mean), mean=mean))
+        tcu = rl(multiply(tsq, fresh(params, mean), mean=mean))
+        h = rl(multiply(nb, tcu, mean=mean))
+        return rl(multiply(h, tcu, mean=mean))
     tsq = multiply(fresh(params, mean), fresh(params, mean), mean=mean)
     tcu = multiply(tsq, fresh(params, mean), 3, 2, mean=mean)
     h = multiply(nb, tcu, 2, 4, mean=mean)  # a*t^3, size 5

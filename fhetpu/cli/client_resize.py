@@ -37,7 +37,8 @@ def add_resize_flags(p):
 
 def run_send(args):
     auto_select_n(args, "resize", bicubic=args.bicubic,
-                  plain_fracts=args.plain_fracts)
+                  plain_fracts=args.plain_fracts,
+                  relin_dbc=(args.dbc if args.relin else None))
     par = make_params(args)
     encoder = make_encoder(args)
     img = images.load_rgb(args.file)
@@ -48,6 +49,13 @@ def run_send(args):
     pk = kg.public_key()
     serial.save_secret_key(os.path.join(args.keydir, "seckey.npz"), kg.secret.small)
     serial.save_public_key(os.path.join(args.keydir, "pubkey.npz"), pk.data)
+    if args.relin:
+        # with relin-after-every-multiply the largest ciphertext the server
+        # ever keyswitches is size 3 -> keys for s^2 suffice
+        rk = kg.relin_keys(max_power=2, digit_bits=args.dbc)
+        np.savez_compressed(os.path.join(args.keydir, "evalkeys.npz"),
+                            digit_bits=np.int64(rk.digit_bits),
+                            **{f"k{k}": v for k, v in rk.keys.items()})
     enc = Encryptor(par, pk)
     vals = img.astype(np.float64).reshape(-1)  # raster RGBRGB...
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,

@@ -101,7 +101,8 @@ def adopt_stream_params(args, reader=None, pmod=None):
 
 
 def auto_select_n(args, pipeline: str, bicubic: bool = False,
-                  plain_fracts: bool = False, degree: int = 12):
+                  plain_fracts: bool = False, degree: int = 12,
+                  relin_dbc=None):
     """When --send omits --cmod, pick the smallest ring degree whose
     worst-case noise estimate survives the pipeline (SEAL 2.3's
     ChooserEvaluator role, reference tests/parameters.cpp) instead of a
@@ -119,7 +120,8 @@ def auto_select_n(args, pipeline: str, bicubic: bool = False,
             par = chooser.jpeg_parameters(t=args.pmod)
         elif pipeline == "resize":
             par = chooser.resize_parameters(bicubic, t=args.pmod,
-                                            plain_fracts=plain_fracts)
+                                            plain_fracts=plain_fracts,
+                                            relin_dbc=relin_dbc)
         elif pipeline == "decode-harmonics":
             par = chooser.harmonics_decode_parameters(degree, t=args.pmod)
         else:

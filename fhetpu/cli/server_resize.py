@@ -24,6 +24,10 @@ def main(argv=None):
     p = add_resize_flags(base_parser("Server-side FHE resize (fhetpu)"))
     p.add_argument("--tile-rows", type=int, default=4,
                    help="output rows per device dispatch")
+    p.add_argument("--tile-cols", type=int, default=0,
+                   help="output columns per device dispatch (0 = all; "
+                        "shrink with --tile-rows to bound HBM for the "
+                        "unrelinearized ct*ct bicubic path at large n)")
     args = p.parse_args(argv)
     setup_platform(args)
 
@@ -31,7 +35,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..bfv.crypto import Encryptor, PublicKey
-    from ..bfv.evaluator import Evaluator
+    from ..bfv.evaluator import DeviceRelinKeys, Evaluator
     from ..io import serial
     from ..pipelines import resize as rz
 
@@ -43,14 +47,36 @@ def main(argv=None):
     ev = Evaluator(par, encoder)
     mode = rz.BICUBIC if args.bicubic else rz.BILINEAR
     w2, h2 = args.width, args.height
+
+    relin = None
+    if args.relin and not args.plain_fracts:
+        path = os.path.join(args.keydir, "evalkeys.npz")
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"--relin requires evaluation keys at {path}; run "
+                "client_resize --send --relin (add --dbc for finer digits)"
+            )
+        loaded = np.load(path)
+
+        class _RK:
+            keys = {int(k[1:]): loaded[k] for k in loaded.files
+                    if k.startswith("k")}
+            digit_bits = int(loaded["digit_bits"]) if "digit_bits" in loaded.files else 0
+
+        relin = DeviceRelinKeys(_RK())
+
     from ..bfv import noise
     runtime_noise_check(
         args,
-        noise.estimate_resize_pipeline(par, encoder, args.bicubic,
-                                       plain_fracts=args.plain_fracts,
-                                       mean=True),
+        noise.estimate_resize_pipeline(
+            par, encoder, args.bicubic, plain_fracts=args.plain_fracts,
+            mean=True,
+            relin_dbc=(relin.digit_bits if relin is not None else None),
+        ),
         ("bicubic" if args.bicubic else "bilinear")
-        + (" (plain fracts)" if args.plain_fracts else " (encrypted fracts, ct*ct)")
+        + (" (plain fracts)" if args.plain_fracts
+           else (" (encrypted fracts, ct*ct, relin)" if relin is not None
+                 else " (encrypted fracts, ct*ct)"))
         + " resize server op",
     )
 
@@ -64,7 +90,10 @@ def main(argv=None):
 
     row_plan = rz.axis_plan(h, h2, mode)
     col_plan = rz.axis_plan(w, w2, mode)
-    size_out = 2 if args.plain_fracts else (4 if mode == rz.BILINEAR else 8)
+    if args.plain_fracts or relin is not None:
+        size_out = 2
+    else:
+        size_out = 4 if mode == rz.BILINEAR else 8
     writer = serial.CtWriter(args.coutfile, size_out, par.L, par.n,
                              meta={"w": w2, "h": h2, "layout": "raster-rgb"})
     label = "Cubic" if args.bicubic else "Linear"
@@ -101,18 +130,36 @@ def main(argv=None):
             win_lo = lo
         return window
 
+    ctile = args.tile_cols if args.tile_cols > 0 else w2
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
         lo, hi = int(rp_idx.min()), int(rp_idx.max()) + 1
-        win = advance_to(lo, hi)
+        win = jnp.asarray(advance_to(lo, hi))
         rp = rz.AxisPlan(idx=rp_idx - lo, fract=row_plan.fract[y0:y1])
-        yops, xops = rz.make_fract_bundles(ev, rp, col_plan, mode, encryptor=encryptor)
-        with t.span((y1 - y0) * w2 * interp_per_px):
-            out = rz.resize_tile(ev, jnp.asarray(win), rp, col_plan, yops, xops,
-                                 mode, plain=args.plain_fracts)
-            out.block_until_ready()
-        writer.append(np.asarray(out).reshape(-1, size_out, par.L, par.n))
+        # column chunks bound the live intermediate tensors of one dispatch
+        # (the unrelinearized bicubic ct*ct tensor product holds size-8
+        # ciphertexts in BOTH RNS bases -- full 17-col tiles exhaust HBM at
+        # n=8192, bench_results/bicubic_boaz_17x17_ctct round-2 crash)
+        row_chunks = []
+        for x0 in range(0, w2, ctile):
+            x1 = min(x0 + ctile, w2)
+            cp = rz.AxisPlan(idx=col_plan.idx[x0:x1],
+                             fract=col_plan.fract[x0:x1])
+            yops, xops = rz.make_fract_bundles(ev, rp, cp, mode,
+                                               encryptor=encryptor,
+                                               relin=relin)
+            with t.span((y1 - y0) * (x1 - x0) * interp_per_px):
+                out = rz.resize_tile(ev, win, rp, cp, yops, xops,
+                                     mode, plain=args.plain_fracts,
+                                     relin=relin)
+                out.block_until_ready()
+            row_chunks.append(np.asarray(out))
+            del out
+        full = row_chunks[0] if len(row_chunks) == 1 else np.concatenate(
+            row_chunks, axis=1
+        )
+        writer.append(full.reshape(-1, size_out, par.L, par.n))
         if args.verbose:
             print(f"rows {y0}..{y1} done (window {lo}..{hi})", file=sys.stderr)
     reader.close()

@@ -113,9 +113,13 @@ def fract_polys(encoder, fracs, mode):
 
 
 class EncryptedFracts:
-    """t, t^2, t^3 ciphertext batches shaped to broadcast along an axis."""
+    """t, t^2, t^3 ciphertext batches shaped to broadcast along an axis.
 
-    def __init__(self, ev, encryptor, fracs, bshape, mode):
+    With relin keys, every ct*ct product is keyswitched back to size 2
+    (capping both noise and the downstream tensor sizes -- the reference
+    parses --dbc but never relinearizes, SURVEY.md 2.4)."""
+
+    def __init__(self, ev, encryptor, fracs, bshape, mode, relin=None):
         import jax.numpy as jnp
 
         from ..bfv.evaluator import Ct
@@ -126,10 +130,14 @@ class EncryptedFracts:
         t = Ct(jnp.asarray(cts).reshape(newshape), False)
         self.t = t
         if mode == BICUBIC:
-            self.t2 = ev.square(t)  # size 3 (fhe_resize.h:174)
-            self.t3 = ev.multiply(self.t2, t)  # size 4 (fhe_resize.h:175)
+            self.t2 = _maybe_relin(ev, ev.square(t), relin)  # size 3 (fhe_resize.h:174)
+            self.t3 = _maybe_relin(ev, ev.multiply(self.t2, t), relin)  # size 4 (fhe_resize.h:175)
         else:
             self.one_minus_t = ev.add_plain(ev.negate(t), ev.encode(1.0))
+
+
+def _maybe_relin(ev, ct, relin):
+    return ev.relinearize(ct, relin) if relin is not None and ct.size > 2 else ct
 
 
 # ---------------------------------------------------------------------------
@@ -137,15 +145,18 @@ class EncryptedFracts:
 # ---------------------------------------------------------------------------
 
 
-def linear_interp(ev, A, B, fr, plain: bool):
+def linear_interp(ev, A, B, fr, plain: bool, relin=None):
     if plain:
         return ev.add(
             ev.multiply_plain(A, fr.one_minus_t), ev.multiply_plain(B, fr.t)
         )
-    return ev.add(ev.multiply(fr.one_minus_t, A), ev.multiply(B, fr.t))
+    return ev.add(
+        _maybe_relin(ev, ev.multiply(fr.one_minus_t, A), relin),
+        _maybe_relin(ev, ev.multiply(B, fr.t), relin),
+    )
 
 
-def cubic_interp(ev, A, B, C, D, fr, plain: bool):
+def cubic_interp(ev, A, B, C, D, fr, plain: bool, relin=None):
     three = ev.encode(3.0)
     a = ev.sub(ev.multiply_plain(B, three), A)
     a = ev.sub(a, ev.multiply_plain(C, three))
@@ -162,9 +173,9 @@ def cubic_interp(ev, A, B, C, D, fr, plain: bool):
         bt2 = ev.multiply_plain(b, fr.t2)
         ct1 = ev.multiply_plain(c, fr.t)
     else:
-        at3 = ev.multiply(a, fr.t3)
-        bt2 = ev.multiply(b, fr.t2)
-        ct1 = ev.multiply(c, fr.t)
+        at3 = _maybe_relin(ev, ev.multiply(a, fr.t3), relin)
+        bt2 = _maybe_relin(ev, ev.multiply(b, fr.t2), relin)
+        ct1 = _maybe_relin(ev, ev.multiply(c, fr.t), relin)
     s = ev.add(ev.add(at3, bt2), ct1)
     s = ev.multiply_plain(s, ev.encode(0.5))
     return ev.add(s, d)
@@ -189,7 +200,8 @@ class PlainFracts:
             self.t3 = stack_plain_operands_coeffs(ev, t3s, bshape)
 
 
-def make_fract_bundles(ev, row_plan, col_plan, mode, encryptor=None):
+def make_fract_bundles(ev, row_plan, col_plan, mode, encryptor=None,
+                       relin=None):
     """Build (yops, xops) for a full output grid [R', C'].
 
     encryptor=None -> plaintext fast path.  Broadcast shapes: x along axis 1
@@ -200,13 +212,15 @@ def make_fract_bundles(ev, row_plan, col_plan, mode, encryptor=None):
         yops = PlainFracts(ev, row_plan.fract, (R, 1, 1), mode)
         xops = PlainFracts(ev, col_plan.fract, (1, C, 1), mode)
     else:
-        yops = EncryptedFracts(ev, encryptor, row_plan.fract, (R, 1, 1), mode)
-        xops = EncryptedFracts(ev, encryptor, col_plan.fract, (1, C, 1), mode)
+        yops = EncryptedFracts(ev, encryptor, row_plan.fract, (R, 1, 1), mode,
+                               relin)
+        xops = EncryptedFracts(ev, encryptor, col_plan.fract, (1, C, 1), mode,
+                               relin)
     return yops, xops
 
 
 def resize_tile(ev, src, row_plan: AxisPlan, col_plan: AxisPlan, yops, xops,
-                mode: int, plain: bool):
+                mode: int, plain: bool, relin=None):
     """src: jnp [H, W, 3, 2, L, n] coefficient-domain ciphertext grid.
     Returns [R', C', 3, size, L, n] (coefficient domain)."""
     import jax.numpy as jnp
@@ -231,17 +245,20 @@ def resize_tile(ev, src, row_plan: AxisPlan, col_plan: AxisPlan, yops, xops,
     interp_cols = []
     for r in range(taps):
         if mode == BILINEAR:
-            interp_cols.append(linear_interp(ev, cell(r, 0), cell(r, 1), xops, plain))
+            interp_cols.append(
+                linear_interp(ev, cell(r, 0), cell(r, 1), xops, plain, relin)
+            )
         else:
             interp_cols.append(
                 cubic_interp(ev, cell(r, 0), cell(r, 1), cell(r, 2), cell(r, 3),
-                             xops, plain)
+                             xops, plain, relin)
             )
     if mode == BILINEAR:
-        out = linear_interp(ev, interp_cols[0], interp_cols[1], yops, plain)
+        out = linear_interp(ev, interp_cols[0], interp_cols[1], yops, plain,
+                            relin)
     else:
         out = cubic_interp(ev, interp_cols[0], interp_cols[1], interp_cols[2],
-                           interp_cols[3], yops, plain)
+                           interp_cols[3], yops, plain, relin)
     if plain:
         out = ev.transform_from_ntt(out)
     return out.data

@@ -3,29 +3,40 @@
 
 The reference committed benchmark/results.txt (per-op ms + RMSError rows per
 configuration); this produces the same artifact for the TPU framework
-(VERDICT.md round-1 item 2).  Configs:
+(VERDICT.md round-1 item 2).  Default configs (--configs):
 
-1. jpeg      -- homomorphic JPEG encode of image/kung.jpg (cropped to the
-                8-divisible 176x216; the reference's own block splitter
-                silently assumes divisibility, fhe_image.h:108-124), n=4096.
-2. bilinear  -- encrypted bilinear resize of boazbarak.jpg (48x48) to half
-                resolution 24x24.
-3. bicubic   -- encrypted bicubic: faithful ct x ct path at the reference's
-                17x17 benchmark size, plus the plain-fract fast path at a
-                larger size.  Full-res coolboaz-fullres.jpg (3015x3016) is
-                INFEASIBLE under the reference's one-ciphertext-per-pixel
-                protocol at any implementation speed: 3015*3016*3 pixel
-                ciphertexts x 2*L*n*4 bytes (n=4096, L=4) ~ 3.6 TB of
-                ciphertext material; the sharded-halo path is exercised at
-                full-stencil fidelity in tests/test_sharding.py and the
-                driver's multichip dryrun instead, and results.txt records
-                the extrapolation math from the measured per-pixel cost.
-4. decode    -- RLE decode at order 16 (4x4) and order 64 (8x8), trusted
+1. jpeg      -- homomorphic JPEG encode of boazbarak.jpg (48x48), n=4096:
+                the image the reference's committed jpg rows came from
+                (benchmark/benchmark.py:5-9 -> results.txt:38-47).
+2. jpegkung  -- BASELINE config 1 as named: image/kung.jpg (reference ingest
+                client_jpeg.cpp:76), cropped to the 8-divisible 176x216 (the
+                reference's block splitter silently assumes divisibility,
+                fhe_image.h:108-124), n=4096 -- 594 blocks, ~14.6 GB of
+                ciphertext stream exercising the chunked reader/writer.
+3. bilinear  -- encrypted bilinear resize of boazbarak.jpg (48x48), both the
+                reference's 17x17 benchmark size and half-res 24x24.
+4. bicubic   -- encrypted bicubic: faithful unrelinearized ct x ct path at
+                the reference's 17x17 benchmark size (1-row x 4-col device
+                tiles to bound HBM), the relinearized ct x ct variant, and
+                the plain-fract fast path at half-res.  Full-res
+                coolboaz-fullres.jpg (3015x3016) is INFEASIBLE under the
+                reference's one-ciphertext-per-pixel protocol at any
+                implementation speed: 3015*3016*3 pixel ciphertexts x
+                2*L*n*4 bytes (n=4096, L=4) ~ 3.6 TB of ciphertext material;
+                the sharded-halo path is exercised at full-stencil fidelity
+                in tests/test_sharding.py and the driver's multichip dryrun
+                instead, and results.txt records the extrapolation math from
+                the measured per-pixel cost.
+5. decode    -- RLE decode at order 16 (4x4) and order 64 (8x8), trusted
                 overload AND the practical pure-FHE harmonic protocol.
-5. chain     -- resize(48->24) -> JPEG-encode(24x24) -> RLE-decode(24x24,
+6. chain     -- resize(48->24) -> JPEG-encode(24x24) -> RLE-decode(24x24,
                 harmonics), per-stage wall clock, one host.
 
-Usage: python scripts/bench_configs.py [--out bench_results] [--skip ...]
+Every config runs in failure isolation: a crash records the rc + log tail
+under results.json["<name>"]["error"] and the sweep continues (round 2 lost
+configs 4-5 + the aggregate to one OOM).
+
+Usage: python scripts/bench_configs.py [--out bench_results] [--configs ...]
 Servers run on the session's default JAX platform (TPU under the driver);
 clients are host-side crypto by design.
 """
@@ -129,7 +140,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/fhetpu_bench")
     ap.add_argument("--platform", default="",
                     help="server platform override (empty = session default)")
-    ap.add_argument("--configs", default="jpeg,bilinear,bicubic,decode,chain")
+    ap.add_argument("--configs",
+                    default="jpeg,jpegkung,bilinear,bicubic,decode,chain")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.workdir, exist_ok=True)
@@ -142,50 +154,73 @@ def main():
         open(p, "w").close()
         return p
 
+    def run_config(name, fn):
+        """Failure isolation: one crashed config records its error + log
+        tail and the sweep continues (round 2 lost configs 4-5 and the
+        aggregate to a single OOM, VERDICT.md round-2 weak item 2)."""
+        log = log_path(name)
+        try:
+            r = fn(log)
+            results[name] = {**r, "ops": aggregate(log)}
+            print(f"{name} done", flush=True)
+        except Exception as e:
+            tail = ""
+            try:
+                with open(log) as f:
+                    tail = "".join(f.readlines()[-12:])
+            except OSError:
+                pass
+            results[name] = {"error": str(e)[:500], "log_tail": tail,
+                             "ops": aggregate(log)}
+            print(f"{name} FAILED: {e}", file=sys.stderr, flush=True)
+
     if "jpeg" in todo and "boaz" in imgs:
         # the reference's committed jpg rows came from boazbarak.jpg 48x48
         # (benchmark/benchmark.py:5-9 -> results.txt:38-47)
-        log = log_path("jpeg_boaz_n4096")
-        r = roundtrip("jpeg", imgs["boaz"], log, args.workdir, n=4096,
-                      platform=args.platform)
-        results["jpeg_boaz_n4096"] = {**r, "ops": aggregate(log)}
-        print("jpeg done", results["jpeg_boaz_n4096"]["ops"].get("RMSError"),
-              flush=True)
+        run_config("jpeg_boaz_n4096", lambda log: roundtrip(
+            "jpeg", imgs["boaz"], log, args.workdir, n=4096,
+            platform=args.platform))
     if "jpegkung" in todo and "kung" in imgs:
-        # optional large-image run (176x216 kung crop = 594 blocks, ~14.6 GB
-        # of ciphertext stream at n=4096): not part of the reference grid
-        log = log_path("jpeg_kung_n4096")
-        r = roundtrip("jpeg", imgs["kung"], log, args.workdir, n=4096,
-                      platform=args.platform)
-        results["jpeg_kung_n4096"] = {**r, "ops": aggregate(log)}
-        print("jpeg kung done", flush=True)
+        # BASELINE config 1 as named (client_jpeg.cpp:76): 176x216 kung crop
+        # = 594 blocks, ~14.6 GB of ciphertext stream at n=4096
+        run_config("jpeg_kung_n4096", lambda log: roundtrip(
+            "jpeg", imgs["kung"], log, args.workdir, n=4096,
+            platform=args.platform))
 
     if "bilinear" in todo and "boaz" in imgs:
-        log = log_path("bilinear_boaz_halfres")
+        size17 = ["--width", "17", "--height", "17"]
+        run_config("bilinear_boaz_17x17", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=4096,
+            extra_client=size17, extra_server=size17 + ["--plain-fracts"],
+            platform=args.platform))
         size = ["--width", "24", "--height", "24"]
-        r = roundtrip("resize", imgs["boaz"], log, args.workdir, n=4096,
-                      extra_client=size, extra_server=size + ["--plain-fracts"],
-                      platform=args.platform)
-        results["bilinear_boaz_halfres"] = {**r, "ops": aggregate(log)}
-        print("bilinear done", flush=True)
+        run_config("bilinear_boaz_halfres", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=4096,
+            extra_client=size, extra_server=size + ["--plain-fracts"],
+            platform=args.platform))
 
     if "bicubic" in todo and "boaz" in imgs:
-        # faithful encrypted-fraction ct x ct path at the reference's 17x17
-        log = log_path("bicubic_boaz_17x17_ctct")
+        # faithful encrypted-fraction ct x ct path at the reference's 17x17;
+        # 1-row x 4-col tiles bound the unrelinearized size-8 tensor product
+        # (full 17-col tiles RESOURCE_EXHAUSTED a v5e chip at n=8192)
         size = ["--width", "17", "--height", "17", "--bicubic"]
-        r = roundtrip("resize", imgs["boaz"], log, args.workdir, n=8192,
-                      extra_client=size, extra_server=size,
-                      platform=args.platform)
-        results["bicubic_boaz_17x17_ctct"] = {**r, "ops": aggregate(log)}
-        print("bicubic ctct done", flush=True)
+        run_config("bicubic_boaz_17x17_ctct", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=8192,
+            extra_client=size,
+            extra_server=size + ["--tile-rows", "1", "--tile-cols", "4"],
+            platform=args.platform))
+        # relinearized ct x ct variant: sizes capped at 2, full tiles fit
+        run_config("bicubic_boaz_17x17_ctct_relin", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=8192,
+            extra_client=size + ["--relin", "--dbc", "30"],
+            extra_server=size + ["--relin", "--tile-rows", "2"],
+            platform=args.platform))
         # plain-fract fast path, half-res
-        log = log_path("bicubic_boaz_halfres_plainfract")
-        size = ["--width", "24", "--height", "24", "--bicubic"]
-        r = roundtrip("resize", imgs["boaz"], log, args.workdir, n=4096,
-                      extra_client=size, extra_server=size + ["--plain-fracts"],
-                      platform=args.platform)
-        results["bicubic_boaz_halfres_plainfract"] = {**r, "ops": aggregate(log)}
-        print("bicubic plainfract done", flush=True)
+        sizep = ["--width", "24", "--height", "24", "--bicubic"]
+        run_config("bicubic_boaz_halfres_plainfract", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=4096,
+            extra_client=sizep, extra_server=sizep + ["--plain-fracts"],
+            platform=args.platform))
 
     if "decode" in todo:
         for name, img_key, order in (("decode_order16", "tiny4", 16),
@@ -193,7 +228,6 @@ def main():
             if img_key not in imgs:
                 continue
             for mode in ("trusted", "harmonics"):
-                log = log_path(f"{name}_{mode}")
                 dec_flags = ["--order", str(order), "--degree",
                              str(3 * order)]
                 client_extra = dec_flags + (
@@ -201,43 +235,48 @@ def main():
                 # harmonic streams carry degree/order on the wire; the
                 # trusted pair-stream server needs the flags explicitly
                 server_extra = [] if mode == "harmonics" else dec_flags
-                r = roundtrip("decode", imgs[img_key], log, args.workdir,
-                              n=4096, extra_client=client_extra,
-                              extra_server=server_extra,
-                              platform=args.platform)
-                from fhetpu.io import images as _img
 
-                ours = _img.load_rgb(r["out"]).astype(np.float64)
-                orig = _img.load_rgb(imgs[img_key]).astype(np.float64)
-                rms = float(np.sqrt(((ours - orig) ** 2).mean()))
-                results[f"{name}_{mode}"] = {**r, "ops": aggregate(log),
-                                             "rms_vs_input": round(rms, 3)}
-                print(f"{name} {mode} done rms={rms:.2f}", flush=True)
+                def dec_run(log, _img_key=img_key, _ce=client_extra,
+                            _se=server_extra):
+                    r = roundtrip("decode", imgs[_img_key], log, args.workdir,
+                                  n=4096, extra_client=_ce, extra_server=_se,
+                                  platform=args.platform)
+                    from fhetpu.io import images as _img
+
+                    ours = _img.load_rgb(r["out"]).astype(np.float64)
+                    orig = _img.load_rgb(imgs[_img_key]).astype(np.float64)
+                    rms = float(np.sqrt(((ours - orig) ** 2).mean()))
+                    return {**r, "rms_vs_input": round(rms, 3)}
+
+                run_config(f"{name}_{mode}", dec_run)
 
     if "chain" in todo and "boaz" in imgs:
-        chain = {}
-        log = log_path("chain_resize")
-        size = ["--width", "24", "--height", "24"]
-        r = roundtrip("resize", imgs["boaz"], log, args.workdir, n=4096,
-                      extra_client=size, extra_server=size + ["--plain-fracts"],
-                      platform=args.platform)
-        chain["stage1_resize"] = r
-        resized = r["out"]
-        log = log_path("chain_jpeg")
-        r = roundtrip("jpeg", resized, log, args.workdir, n=4096,
-                      platform=args.platform)
-        chain["stage2_jpeg"] = r
-        log = log_path("chain_decode")
-        r = roundtrip("decode", resized, log, args.workdir, n=4096,
-                      extra_client=["--order", "576", "--degree", "192",
-                                    "--harmonics"],
-                      platform=args.platform)
-        chain["stage3_decode"] = r
-        chain["total_s"] = round(sum(
-            s["send_s"] + s["server_s"] + s["recv_s"]
-            for s in chain.values() if isinstance(s, dict)), 2)
-        results["chain_1host"] = chain
-        print("chain done", chain["total_s"], "s", flush=True)
+        def chain_run(_log):
+            chain = {}
+            log = log_path("chain_resize")
+            size = ["--width", "24", "--height", "24"]
+            r = roundtrip("resize", imgs["boaz"], log, args.workdir, n=4096,
+                          extra_client=size,
+                          extra_server=size + ["--plain-fracts"],
+                          platform=args.platform)
+            chain["stage1_resize"] = r
+            resized = r["out"]
+            log = log_path("chain_jpeg")
+            r = roundtrip("jpeg", resized, log, args.workdir, n=4096,
+                          platform=args.platform)
+            chain["stage2_jpeg"] = r
+            log = log_path("chain_decode")
+            r = roundtrip("decode", resized, log, args.workdir, n=4096,
+                          extra_client=["--order", "576", "--degree", "192",
+                                        "--harmonics"],
+                          platform=args.platform)
+            chain["stage3_decode"] = r
+            chain["total_s"] = round(sum(
+                s["send_s"] + s["server_s"] + s["recv_s"]
+                for s in chain.values() if isinstance(s, dict)), 2)
+            return chain
+
+        run_config("chain_1host", chain_run)
 
     import jax
 

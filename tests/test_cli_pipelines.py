@@ -91,6 +91,39 @@ def test_resize_cli_streaming_gap_regression(tmp_path):
     assert images.rms_error(ours, want) < 1.0
 
 
+def _fourier_oracle(img, order, degree, delta):
+    """Exact-series Fourier reconstruction of each channel in doubles: the
+    value BOTH decode server modes must reproduce (the trusted overload sums
+    the same per-pair series; the harmonic protocol regroups it by
+    linearity).  fhe_decode.h:244-282 semantics incl. the float32(j) quirk."""
+    from fhetpu.cli.client_decode import rle_encode
+    from fhetpu.pipelines.rle_decode import fourier_harmonics_host
+
+    h0, w0 = img.shape[:2]
+    pos = np.arange(h0 * w0, dtype=np.float64)
+    out = np.zeros((h0 * w0, 3))
+    for c in range(3):
+        h = fourier_harmonics_host(rle_encode(img[..., c].reshape(-1)),
+                                   order, degree, delta)
+        vals = np.full(len(pos), h[0])
+        for j in range(1, degree + 1):
+            a_j = float(np.float32(j)) * np.pi / float(order)
+            vals += h[j] * np.cos(a_j * pos) + h[degree + j] * np.sin(a_j * pos)
+        out[:, c] = vals
+    return out.reshape(h0, w0, 3)
+
+
+def _assert_matches_series(out_png, img, order, degree, delta):
+    """CLI output must equal trunc+clamp of the exact double-precision
+    series to within 1 (the trunc boundary); rms<30 told us nothing
+    (VERDICT.md round-2 weak item 6)."""
+    ours = images.load_rgb(out_png).astype(np.float64)
+    want = np.clip(np.trunc(_fourier_oracle(img, order, degree, delta)),
+                   0, 255)
+    diff = np.abs(ours - want).max()
+    assert diff <= 1.0, diff
+
+
 def test_decode_cli_roundtrip(tmp_path):
     from fhetpu.cli import client_decode, server_decode
 
@@ -115,9 +148,7 @@ def test_decode_cli_roundtrip(tmp_path):
         ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
          "-o", out_png] + common
     )
-    ours = images.load_rgb(out_png).astype(np.float64)
-    # Fourier-series step reconstruction: approximate by design
-    assert images.rms_error(ours, img.astype(np.float64)) < 30.0
+    _assert_matches_series(out_png, img, order=16, degree=48, delta=0.5)
 
 
 def test_bicubic_ct_ct_refuses_small_ring(tmp_path):
@@ -189,8 +220,7 @@ def test_decode_harmonics_cli_roundtrip(tmp_path):
         ["--recieve", "-f", img_path, "-i", os.path.join(d, "s2c.bin"),
          "-o", out_png] + common
     )
-    ours = images.load_rgb(out_png).astype(np.float64)
-    assert images.rms_error(ours, img.astype(np.float64)) < 30.0
+    _assert_matches_series(out_png, img, order=16, degree=48, delta=0.5)
 
 
 def test_cmod_mismatch_fails_fast(tmp_path):
