@@ -52,6 +52,68 @@ CHILD = textwrap.dedent(
 )
 
 
+# A REAL ciphertext pipeline op under jax.distributed (VERDICT.md round-2
+# item 7): each of the 2 processes contributes one encrypted 8x8 RGB block
+# as its process-local shard, the dp-sharded JPEG server op (YCC + DCT) runs
+# as ONE global jit over both processes' devices, and every process checks
+# its local output shard is bit-identical to the single-device computation.
+CHILD_CT = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, %r)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fhetpu.parallel.distributed import (
+        init_distributed, global_block_sharding)
+
+    assert init_distributed(), "env vars set, must initialize"
+    pid = jax.process_index()
+    mesh, sharding = global_block_sharding()
+
+    from fhetpu.bfv.crypto import Encryptor, KeyGenerator
+    from fhetpu.bfv.encoder import FractionalEncoder
+    from fhetpu.bfv.evaluator import Evaluator
+    from fhetpu.bfv.params import BfvParams
+    from fhetpu.io import images
+    from fhetpu.pipelines import jpeg_encode as pipe
+
+    N, T = 2048, 1 << 14
+    par = BfvParams.create(n=N, t=T)
+    kg = KeyGenerator(par, seed=55)
+    enc = Encryptor(par, kg.public_key(), seed=56)
+    encoder = FractionalEncoder(T, N)
+    ev = Evaluator(par, encoder)
+
+    # deterministic seeds -> both processes derive the SAME ciphertext batch
+    # host-side (the trusted client role); 2 blocks, one per process
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    blocks = np.stack(
+        [images.split_blocks(img[..., c].astype(np.float64)) for c in range(3)],
+        axis=1,
+    )
+    cts = enc.encrypt_batch(
+        encoder.encode_batch(blocks).reshape(-1, N)
+    ).reshape(2, 3, 64, 2, par.L, N)
+
+    # single-device oracle on this process's local device
+    single = np.asarray(pipe.make_server(ev)(jnp.asarray(cts)))
+
+    # global dp-sharded run: this process contributes block [pid]
+    arr = jax.make_array_from_process_local_data(sharding, cts[pid : pid + 1])
+    assert arr.shape[0] == 2, arr.shape
+    fn = jax.jit(pipe.server_compute_fn(ev), in_shardings=sharding,
+                 out_shardings=sharding)
+    out = fn(arr)
+    for shard in out.addressable_shards:
+        blk = shard.index[0].start or 0
+        np.testing.assert_array_equal(np.asarray(shard.data)[0], single[blk])
+    print("DIST_CT_OK", pid, flush=True)
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -60,7 +122,7 @@ def _free_port():
     return port
 
 
-def test_two_process_init_and_global_reduce(tmp_path):
+def _run_two_processes(child_src, ok_token, timeout=300):
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep axon PJRT out of children
@@ -75,7 +137,7 @@ def test_two_process_init_and_global_reduce(tmp_path):
         e = dict(env, JAX_PROCESS_ID=str(pid))
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", CHILD % REPO, str(pid)],
+                [sys.executable, "-c", child_src % REPO, str(pid)],
                 env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -83,7 +145,7 @@ def test_two_process_init_and_global_reduce(tmp_path):
     outs = []
     for pid, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -91,4 +153,12 @@ def test_two_process_init_and_global_reduce(tmp_path):
         outs.append(out)
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
     for pid, out in enumerate(outs):
-        assert f"DIST_OK {pid}" in out, out
+        assert f"{ok_token} {pid}" in out, out
+
+
+def test_two_process_init_and_global_reduce(tmp_path):
+    _run_two_processes(CHILD, "DIST_OK", timeout=180)
+
+
+def test_two_process_ciphertext_jpeg_op(tmp_path):
+    _run_two_processes(CHILD_CT, "DIST_CT_OK", timeout=600)
