@@ -158,10 +158,9 @@ def main(argv=None):
         k = npairs[ch]
         cts = reader.read(k * 2)  # (value, count) interleaved
         assert cts is not None and cts.shape[0] == 2 * k
-        vals = [cts[2 * i] for i in range(k)]
-        counts = [cts[2 * i + 1] for i in range(k)]
-        acc = np.zeros(len(positions))
         if args.pure_fhe:
+            vals = [cts[2 * i] for i in range(k)]
+            counts = [cts[2 * i + 1] for i in range(k)]
             count_cts = [Ct(jnp.asarray(c)) for c in counts]
             idxs = rd.cumulative_counts(ev, count_cts)
             chan = None
@@ -174,29 +173,23 @@ def main(argv=None):
                 chan = run if chan is None else ev.add(chan, run)
             writer.append(np.asarray(ev.transform_from_ntt(chan).data))
         else:
-            index = 0.0
-            chan_cts = None
-            for i in range(k):
-                idx_ct = enc.encrypt(encoder.encode(index))
-                with t.span(len(positions)):
-                    run = rd.approximated_step_trusted(
-                        encoder, enc, decryptor, vals[i], idx_ct, counts[i],
-                        args.order, args.degree, args.delta, positions,
-                    )
-                chan_cts = run if chan_cts is None else _add_host(chan_cts, run, par)
-                index += encoder.decode(decryptor.decrypt(counts[i]))
-            writer.append(chan_cts)
+            # batched trusted overload: decrypt every pair at once, evaluate
+            # the whole channel's Fourier series in vectorized doubles, and
+            # re-encrypt the channel sum ONCE (value-identical to the
+            # reference's per-pair re-encrypt + ciphertext adds by decode
+            # linearity; see rle_decode.fourier_channel_trusted)
+            dv = encoder.decode_batch(decryptor.decrypt_batch(cts))
+            with t.span(k * len(positions)):
+                chan_vals = rd.fourier_channel_trusted(
+                    dv[0::2], dv[1::2], args.order, args.degree, args.delta,
+                    positions,
+                )
+            writer.append(enc.encrypt_batch(encoder.encode_batch(chan_vals)))
         if args.verbose:
             print(f"channel {ch}: {k} pairs", file=sys.stderr)
     reader.close()
     writer.close()
     t.emit()
-
-
-def _add_host(a: np.ndarray, b: np.ndarray, par) -> np.ndarray:
-    p = np.array([int(x) for x in par.q_primes], dtype=np.uint64).reshape(-1, 1)
-    r = a.astype(np.uint64) + b.astype(np.uint64)
-    return np.where(r >= p, r - p, r).astype(np.uint32)
 
 
 if __name__ == "__main__":
