@@ -92,13 +92,24 @@ def main():
 
     details = {"n": n, "nb": nb, "backend": jax.default_backend(), "variants": {}}
     results = {}
+    repeats = int(os.environ.get("FHETPU_BENCH_REPEATS", 3))
     for label, use_fused, with_ntt in variants:
         jloop = build(use_fused, with_ntt)
-        sec_per_iter, k, dt = measure(jloop, x, label)
-        cbs = nb * 3 / sec_per_iter  # channel-blocks per second
+        # measure each variant >= 3x and report min/median: single-shot
+        # numbers over the remote-TPU tunnel swung 4.8x between rounds
+        # (VERDICT.md round-2 weak item 3); the median is the headline
+        samples = []
+        k = dt = None
+        for rep in range(repeats):
+            sec_per_iter, k, dt = measure(jloop, x, f"{label}#{rep}")
+            samples.append(sec_per_iter)
+        med = sorted(samples)[len(samples) // 2]
+        cbs = nb * 3 / med  # channel-blocks per second
         results[label] = cbs
         details["variants"][label] = {
-            "ms_per_op": round(sec_per_iter * 1e3, 3),
+            "ms_per_op": round(med * 1e3, 3),
+            "ms_per_op_min": round(min(samples) * 1e3, 3),
+            "ms_per_op_samples": [round(s * 1e3, 3) for s in samples],
             "channel_blocks_per_s": round(cbs, 2),
             "k": k,
             "measured_dt_s": round(dt, 3),

@@ -1,0 +1,298 @@
+"""Four-step negacyclic NTT mapped onto the MXU (int8 digit-plane matmuls).
+
+VERDICT.md round-2 item 6 asked for an attempt at mapping the n=4096
+transform onto the MXU as 64x64 integer matmuls.  This module is that
+attempt, kept correct and benchmarkable:
+
+The length-n transform factors over n = A*B (poly viewed as X[i1, i0],
+i = A*i1 + i0) into
+
+  forward:  OUT = (M1 @ X  *  T) @ M2^T
+  inverse:  OUT = M1i @ ((D @ M2i^T) * Ti)
+
+with per-prime constant matrices M1 [B,B], M2 [A,A] and an elementwise
+twiddle T [B,A] -- all mod p, with the Harvey bit-reversed input/output
+conventions of core.ntt folded into the constants (row/column
+permutations are free in a constant matrix), so the four-step transform
+is bit-compatible with the staged/Pallas transforms at every call site.
+
+MXU mapping: operands are decomposed into NDIG=4 signed radix-256 digit
+planes (int8); each digit-class partial P_s = sum_{j+k=s} Mdig_j @ Xdig_k
+is one int8 x int8 -> int32 dot_general on the MXU (|P_s| <= 4*B*128^2 <=
+2^22 for B <= 64 -- exact in int32).  The class partials are recombined to
+V = sum_s P_s 2^(8s) in emulated 96-bit arithmetic and Barrett-reduced on
+the VPU.
+
+Performance verdict (measured, scripts/bench_core.py; analysis in
+docs/ntt_roofline.md): the matmuls are nearly free on the MXU, but the
+per-element digit recombination + 96-bit reduction costs ~2x the VPU ops
+of the 12 butterfly stages it replaces, and the butterfly kernel is
+already VPU-compute-bound -- so the four-step variant measures SLOWER on
+v5e.  It is retained as the committed evidence for that bound, not wired
+into the production evaluator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modops
+from .ntt import NttTables, _bit_reverse, _find_primitive_2n_root
+
+NDIG = 4  # signed radix-256 digit planes for 30-bit values
+
+
+def _factor(n: int) -> tuple[int, int]:
+    """n = A*B with B the contraction size of stage 1 (prefer 64/128)."""
+    logn = n.bit_length() - 1
+    logb = min(7, logn - (logn // 2))  # e.g. 4096 -> B=64, A=64
+    if logn - logb > 7:
+        logb = logn - 7
+    return 1 << (logn - logb), 1 << logb  # (A, B)
+
+
+def _digits_balanced_np(x: np.ndarray) -> np.ndarray:
+    """uint32 -> int8 planes [NDIG, ...]: x = sum_j d_j 256^j, d in [-128,127]."""
+    v = x.astype(np.int64)
+    planes = []
+    for _ in range(NDIG):
+        u = v & 255
+        c = u >= 128
+        planes.append((u - 256 * c).astype(np.int8))
+        v = (v >> 8) + c
+    assert np.all(v == 0), "value exceeded NDIG signed radix-256 digits"
+    return np.stack(planes)
+
+
+def _digits_balanced_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    """Device digit decomposition: uint32 [...] -> int8 [NDIG, ...]."""
+    v = x
+    planes = []
+    for _ in range(NDIG):
+        u = v & jnp.uint32(255)
+        c = (u >= jnp.uint32(128)).astype(jnp.uint32)
+        planes.append((u.astype(jnp.int32) - 256 * c.astype(jnp.int32))
+                      .astype(jnp.int8))
+        v = (v >> jnp.uint32(8)) + c
+    return jnp.stack(planes)
+
+
+class FourStepTables:
+    """Per-(primes, n) constants: digit planes of M1/M2 (+inverse), twiddles
+    with Shoup companions, and the 96-bit reduction constants."""
+
+    def __init__(self, tables: NttTables):
+        n = tables.n
+        A, B = _factor(n)
+        self.n, self.A, self.B = n, A, B
+        logn = tables.logn
+        logb = B.bit_length() - 1
+        loga = A.bit_length() - 1
+        primes = tables.primes
+        L = len(primes)
+
+        revb = np.array([_bit_reverse(i, logb) for i in range(B)])
+        reva = np.array([_bit_reverse(i, loga) for i in range(A)])
+
+        m1 = np.zeros((L, B, B), dtype=np.uint32)
+        m2 = np.zeros((L, A, A), dtype=np.uint32)
+        tw = np.zeros((L, B, A), dtype=np.uint32)
+        m1i = np.zeros((L, B, B), dtype=np.uint32)
+        m2i = np.zeros((L, A, A), dtype=np.uint32)
+        twi = np.zeros((L, B, A), dtype=np.uint32)
+        for li, p in enumerate(primes):
+            psi = _find_primitive_2n_root(p, n)
+            w = psi * psi % p
+            wA, wB = pow(w, A, p), pow(w, B, p)
+            ipsi = pow(psi, p - 2, p)
+            iw = pow(w, p - 2, p)
+            iwA, iwB = pow(iw, A, p), pow(iw, B, p)
+            ninv = pow(n, p - 2, p)
+            # forward: M1'[k1, i1] = psi^(A i1) * wA^(i1 * revb[k1])
+            for k1 in range(B):
+                r = int(revb[k1])
+                for i1 in range(B):
+                    m1[li, k1, i1] = pow(wA, i1 * r, p) * pow(psi, A * i1, p) % p
+                for i0 in range(A):
+                    tw[li, k1, i0] = pow(w, i0 * r, p) * pow(psi, i0, p) % p
+            # M2[k0, i0] = wB^(i0 * reva[k0])
+            for k0 in range(A):
+                r = int(reva[k0])
+                for i0 in range(A):
+                    m2[li, k0, i0] = pow(wB, i0 * r, p)
+            # inverse: M2i[i0, v] = iwB^(i0 * reva[v])
+            for i0 in range(A):
+                for v in range(A):
+                    m2i[li, i0, v] = pow(iwB, i0 * int(reva[v]), p)
+            # Ti[a, i0] = iw^(i0 * revb[a]) * ipsi^i0 * n^-1
+            # M1i[i1, a] = ipsi^(A i1) * iwA^(i1 * revb[a])
+            for a in range(B):
+                r = int(revb[a])
+                for i0 in range(A):
+                    twi[li, a, i0] = (
+                        pow(iw, i0 * r, p) * pow(ipsi, i0, p) % p * ninv % p
+                    )
+                for i1 in range(B):
+                    m1i[li, i1, a] = (
+                        pow(iwA, i1 * r, p) * pow(ipsi, A * i1, p) % p
+                    )
+
+        p64 = tables.p.astype(np.uint64)  # [L,1]
+        self.p, self.mu, self.shift = tables.p, tables.mu, tables.shift
+        self.m1_dig = _digits_balanced_np(m1)  # [NDIG, L, B, B] int8
+        self.m2_dig = _digits_balanced_np(m2)
+        self.m1i_dig = _digits_balanced_np(m1i)
+        self.m2i_dig = _digits_balanced_np(m2i)
+        self.tw = tw
+        self.tw_shoup = modops.shoup(tw, p64.reshape(L, 1, 1))
+        self.twi = twi
+        self.twi_shoup = modops.shoup(twi, p64.reshape(L, 1, 1))
+        # reduction constants: 2^32 mod p, 2^64 mod p, and the bias
+        # correction sum_s 2^bias_bits * 2^(8s) mod p (see _combine).
+        # |P_s| <= NDIG * max(A,B) * 128^2 (class pairs x contraction x
+        # digit product) -- bias is the next power of two above that.
+        ps = [int(q) for q in primes]
+        self.c32 = np.array([[(1 << 32) % q] for q in ps], dtype=np.uint32)
+        self.c64 = np.array([[(1 << 64) % q] for q in ps], dtype=np.uint32)
+        self.bias_bits = (NDIG * max(A, B) * 128 * 128 - 1).bit_length()
+        assert self.bias_bits <= 24, "class partials would overflow the 96-bit path"
+        bias_val = sum((1 << self.bias_bits) << (8 * s)
+                       for s in range(2 * NDIG - 1))
+        self.bias = np.array([[bias_val % q] for q in ps], dtype=np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def get_fourstep(primes: tuple, n: int) -> FourStepTables:
+    return FourStepTables(NttTables(primes, n))
+
+
+def _class_partials(mdig, xdig, contract_right: bool):
+    """P_s = sum_{j+k=s} M_j @ X_k (or X @ M^T), int8 MXU matmuls.
+
+    mdig [NDIG, L, R, C] int8 constants; xdig [NDIG, z, L, *] int8 data.
+    Returns [2*NDIG-1, z, L, rows, cols] int32.
+    """
+    S = 2 * NDIG - 1
+    parts = [None] * S
+    for j in range(NDIG):
+        m = mdig[j]
+        for k in range(NDIG):
+            x = xdig[k]
+            if contract_right:
+                # X [z,L,B,A] @ M^T [L,A,A] -> contract last dim of X with
+                # last dim of M (M[k0, i0]: contract i0)
+                t = jax.lax.dot_general(
+                    x, m,
+                    dimension_numbers=(((3,), (2,)), ((1,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # [L, z, B, A_out]? batching puts batch dims first
+                t = jnp.transpose(t, (1, 0, 2, 3))
+            else:
+                # M [L,B,B] @ X [z,L,B,A]: contract M's last with X's axis 2
+                t = jax.lax.dot_general(
+                    m, x,
+                    dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+                    preferred_element_type=jnp.int32,
+                )  # [L, B_out, z, A]
+                t = jnp.transpose(t, (2, 0, 1, 3))
+            s = j + k
+            parts[s] = t if parts[s] is None else parts[s] + t
+    return parts
+
+
+def _combine(parts, p, mu, shift, c32, c64, bias, bias_bits):
+    """V = sum_s P_s 2^(8s) mod p via biased 96-bit accumulation + Barrett.
+
+    parts: list of int32 [..., L, R, C], |P_s| < 2^bias_bits biased to
+    U_s = P_s + 2^bias_bits < 2^(bias_bits+1).  96-bit value assembled as
+    w0 + 2^32 w1 + 2^64 w2, reduced with precomputed 2^32/2^64 mod p, then
+    the constant bias sum is subtracted once.
+    """
+    U = [(x + jnp.int32(1 << bias_bits)).astype(jnp.uint32) for x in parts]
+    zero = jnp.zeros_like(U[0])
+
+    def acc(words, u, sh):
+        """words (w0,w1) += u << sh (sh < 64), exact with carries."""
+        w0, w1 = words
+        if sh == 0:
+            lo, hi = u, zero
+        elif sh < 32:
+            lo = u << jnp.uint32(sh)
+            hi = u >> jnp.uint32(32 - sh)
+        else:
+            lo, hi = zero, u << jnp.uint32(sh - 32)
+        r0 = w0 + lo
+        carry = (r0 < lo).astype(jnp.uint32)
+        return r0, w1 + hi + carry
+
+    # V = VA + 2^32 VB, VA = sum_{s<4} U_s 2^(8s), VB = sum_{s>=4} U_s 2^(8s-32)
+    va = (zero, zero)
+    vb = (zero, zero)
+    for s in range(len(U)):
+        if 8 * s < 32:
+            va = acc(va, U[s], 8 * s)
+        else:
+            vb = acc(vb, U[s], 8 * s - 32)
+    w0 = va[0]
+    w1 = va[1] + vb[0]
+    carry = (w1 < vb[0]).astype(jnp.uint32)
+    w2 = vb[1] + carry  # < 2^16
+
+    # reduce w0 (< 2^32) mod p: q = mulhi((w0 >> shift), mu)
+    def red32(x):
+        xs = x >> shift
+        q = modops.mulhi32(xs, mu)
+        r = x - q * p
+        two_p = p << 1
+        r = jnp.where(r >= two_p, r - two_p, r)
+        return jnp.where(r >= p, r - p, r)
+
+    r = red32(w0)
+    r = modops.addmod(r, modops.mulmod(red32(w1), c32, p, mu, shift), p)
+    r = modops.addmod(r, modops.mulmod(w2, c64, p, mu, shift), p)
+    return modops.submod(r, bias, p)
+
+
+def ntt4(x: jnp.ndarray, tables: NttTables, forward: bool = True) -> jnp.ndarray:
+    """Four-step transform of x [..., L, n]; bit-compatible with
+    ntt.ntt / ntt.intt (same Harvey bit-reversed conventions)."""
+    ft = get_fourstep(tables.primes, tables.n)
+    A, B, L = ft.A, ft.B, len(tables.primes)
+    lead = x.shape[:-2]
+    z = 1
+    for d in lead:
+        z *= d
+    X = x.reshape(z, L, B, A)
+    p = jnp.asarray(ft.p).reshape(1, L, 1, 1)
+    mu = jnp.asarray(ft.mu).reshape(1, L, 1, 1)
+    shift = jnp.asarray(ft.shift).reshape(1, L, 1, 1)
+    c32 = jnp.asarray(ft.c32).reshape(1, L, 1, 1)
+    c64 = jnp.asarray(ft.c64).reshape(1, L, 1, 1)
+    bias = jnp.asarray(ft.bias).reshape(1, L, 1, 1)
+
+    bb = ft.bias_bits
+    if forward:
+        xd = _digits_balanced_jnp(X)
+        y = _combine(_class_partials(jnp.asarray(ft.m1_dig), xd, False),
+                     p, mu, shift, c32, c64, bias, bb)  # [z,L,B,A]
+        y = modops.mulmod_shoup(
+            y, jnp.asarray(ft.tw)[None], jnp.asarray(ft.tw_shoup)[None], p
+        )
+        yd = _digits_balanced_jnp(y)
+        out = _combine(_class_partials(jnp.asarray(ft.m2_dig), yd, True),
+                       p, mu, shift, c32, c64, bias, bb)
+    else:
+        xd = _digits_balanced_jnp(X)
+        w = _combine(_class_partials(jnp.asarray(ft.m2i_dig), xd, True),
+                     p, mu, shift, c32, c64, bias, bb)
+        w = modops.mulmod_shoup(
+            w, jnp.asarray(ft.twi)[None], jnp.asarray(ft.twi_shoup)[None], p
+        )
+        wd = _digits_balanced_jnp(w)
+        out = _combine(_class_partials(jnp.asarray(ft.m1i_dig), wd, False),
+                       p, mu, shift, c32, c64, bias, bb)
+    return out.reshape(lead + (L, tables.n))

@@ -67,39 +67,93 @@ def main():
         ]
         return np.stack(limbs, axis=-2).astype(np.uint32)
 
-    results = {"n": n, "L": L, "batch": B, "backend": backend, "ops": {}}
+    results = {"n": n, "L": L, "batch": B, "backend": backend, "ops": {},
+               "ntt_sweep": {}}
 
-    # ---- forward NTT over [B, L, n] -------------------------------------
-    x = jnp.asarray(rand_rns((B,)))
+    # ---- forward NTT: batch sweep over implementation variants ----------
+    # (VERDICT.md round-2 item 6: commit the batch sweep the crossover
+    # claims rest on, plus the four-step MXU attempt, plus a roofline
+    # statement.)  Variants:
+    #   xla       -- staged-jnp butterfly graph (core/ntt.py)
+    #   pallas    -- single-pass VMEM-resident butterfly kernel, R sweep
+    #   fourstep  -- n = AxB decomposition as int8 digit-plane matmuls on
+    #                the MXU with VPU 96-bit recombination (core/ntt4step.py)
     tables = par.tables_q
-    bytes_io = 2 * 4 * B * L * n  # one read + one write of the batch
+    from fhetpu.core import ntt4step
 
-    def ntt_loop(fn, label):
+    def sweep_entry(fn, xb, label, Bsz):
         def loop(v, k):
             return lax.fori_loop(0, k, lambda i, a: fn(a), v, unroll=1)
 
         jloop = jax.jit(loop)
-        sec, k, dt = measure(jloop, x, label)
-        results["ops"][label] = {
+        sec, k, dt = measure(jloop, xb, label)
+        bytes_io = 2 * 4 * Bsz * L * n
+        return {
             "us_per_call": round(sec * 1e6, 2),
-            "ntts_per_s": round(B * L / sec, 1),
+            "ntts_per_s": round(Bsz * L / sec, 1),
             "achieved_gb_per_s": round(bytes_io / sec / 1e9, 2),
             "k": k,
             "dt_s": round(dt, 3),
         }
 
+    # force-route around the production dispatcher so each variant is
+    # measured as itself (ntt_mod.ntt would pick pallas at small batches)
+    from fhetpu.core.ntt import _ntt_impl
+
+    for Bsz in (16, 64, 256, 1024):
+        x_s = jnp.asarray(rand_rns((Bsz,)))
+        entry = {}
+        entry["xla"] = sweep_entry(
+            lambda a: _ntt_impl(jnp, a, tables), x_s, f"ntt_xla_B{Bsz}", Bsz)
+        try:
+            got = np.asarray(jax.jit(
+                lambda a: ntt4step.ntt4(a, tables, True))(x_s[:2]))
+            ref = np.asarray(jax.jit(
+                lambda a: _ntt_impl(jnp, a, tables))(x_s[:2]))
+            assert np.array_equal(got, ref), "fourstep NTT mismatch"
+            entry["fourstep_mxu"] = sweep_entry(
+                lambda a: ntt4step.ntt4(a, tables, True), x_s,
+                f"ntt_fourstep_B{Bsz}", Bsz)
+        except Exception as e:
+            entry["fourstep_mxu"] = f"{type(e).__name__}: {e}"[:200]
+        if backend == "tpu":
+            try:
+                from fhetpu.core import pallas_ntt
+
+                best = None
+                for R in (4, 8, 16, 32):
+                    if R > Bsz:
+                        continue
+                    fwd = pallas_ntt.make_ntt(par, forward=True,
+                                              rows_per_block=R)
+                    got = np.asarray(jax.jit(fwd)(x_s[:R]))
+                    ref = np.asarray(jax.jit(
+                        lambda a: _ntt_impl(jnp, a, tables))(x_s[:R]))
+                    assert np.array_equal(ref, got), "pallas NTT mismatch"
+                    e = sweep_entry(fwd, x_s, f"ntt_pallas_B{Bsz}_R{R}", Bsz)
+                    e["R"] = R
+                    if best is None or e["us_per_call"] < best["us_per_call"]:
+                        best = e
+                entry["pallas"] = best
+            except Exception as e:
+                entry["pallas"] = f"{type(e).__name__}: {e}"[:200]
+        results["ntt_sweep"][str(Bsz)] = entry
+
+    # ---- production-dispatch NTT numbers at the headline batch ----------
+    x = jnp.asarray(rand_rns((B,)))
+
+    def ntt_loop(fn, label):
+        results["ops"][label] = sweep_entry(fn, x, label, B)
+
     ntt_loop(lambda a: ntt_mod.ntt(a, tables), "ntt_fwd_xla")
     ntt_loop(lambda a: ntt_mod.intt(a, tables), "ntt_inv_xla")
     if backend == "tpu":
-        # single-pass Pallas kernel: measured slower than the staged-XLA
-        # graph (see core/pallas_ntt.py docstring) but recorded alongside;
-        # correctness asserted before timing
         try:
             from fhetpu.core import pallas_ntt
 
             fwd = pallas_ntt.make_ntt(par, forward=True)
             inv = pallas_ntt.make_ntt(par, forward=False)
-            ref = np.asarray(jax.jit(lambda a: ntt_mod.ntt(a, tables))(x))
+            ref = np.asarray(jax.jit(lambda a: _ntt_impl(jnp, a, tables))(x))
             got = np.asarray(jax.jit(fwd)(x))
             assert np.array_equal(ref, got), "pallas NTT mismatch vs XLA"
             ntt_loop(fwd, "ntt_fwd_pallas")

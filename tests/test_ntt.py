@@ -95,3 +95,24 @@ def test_pallas_ntt_matches_staged():
     np.testing.assert_array_equal(got, ref)
     back = np.asarray(inv(jnp.asarray(got)))
     np.testing.assert_array_equal(back, x)
+
+
+def test_fourstep_mxu_ntt_matches_staged():
+    """Four-step MXU transform (core/ntt4step.py) is bit-identical to the
+    staged NTT in both directions across n = A*B factorizations, including
+    non-square ones (n=2048 -> A=32, B=64)."""
+    from fhetpu.core import ntt4step
+
+    rng = np.random.default_rng(11)
+    for n in (2048, 4096):
+        t = _tables(n)
+        L = len(t.primes)
+        x = np.stack(
+            [rng.integers(0, p, size=(3, n), dtype=np.uint64) for p in t.primes],
+            axis=-2,
+        ).astype(np.uint32)
+        ref = np.asarray(ntt.ntt(jnp.asarray(x), t))
+        got = np.asarray(ntt4step.ntt4(jnp.asarray(x), t, forward=True))
+        np.testing.assert_array_equal(got, ref)
+        back = np.asarray(ntt4step.ntt4(jnp.asarray(got), t, forward=False))
+        np.testing.assert_array_equal(back, x)
