@@ -170,14 +170,16 @@ def _intt_impl(xp, x, tables: NttTables):
 
 
 def _use_pallas(x, tables: NttTables) -> bool:
-    """Route small-batch TPU transforms to the single-pass Pallas kernel.
+    """Route eligible TPU transforms to the single-pass Pallas kernel.
 
-    Measured on v5e (bench_core.json): the Pallas kernel has a
-    batch-size-independent ~1.4 us/poly cost, while the staged-XLA graph
-    pays a ~260 us floor that only amortizes at large batches -- Pallas
-    wins below ~180 polys (91 vs 258 us at B=64, n=4096, L=4), XLA wins
-    above (283 vs 363 us at B=256).  Large L*n configs whose resident
-    twiddle tables exceed VMEM stay on the staged graph."""
+    Measured batch sweep on v5e (bench_core.json ntt_sweep, n=4096, L=4;
+    analysis in docs/ntt_roofline.md): the Pallas kernel is batch-flat at
+    ~2.7-2.8M limb-NTTs/s (24/91/363/1528 us at B=16/64/256/1024) while
+    the staged-XLA graph pays a high per-dispatch floor with one sweet
+    spot around B=256 (283 us) where its fusion clusters line up.  Pallas
+    is used everywhere eligible except that measured XLA-wins window.
+    Large L*n configs whose resident twiddle tables exceed VMEM stay on
+    the staged graph."""
     import os as _os
 
     if _os.environ.get("FHETPU_PALLAS_NTT", "1") == "0":
@@ -199,7 +201,7 @@ def _use_pallas(x, tables: NttTables) -> bool:
     batch = 1
     for d in x.shape[:-2]:
         batch *= d
-    return batch <= 128
+    return not (192 <= batch <= 512)
 
 
 def ntt(x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:

@@ -23,12 +23,13 @@ is one int8 x int8 -> int32 dot_general on the MXU (|P_s| <= 4*B*128^2 <=
 V = sum_s P_s 2^(8s) in emulated 96-bit arithmetic and Barrett-reduced on
 the VPU.
 
-Performance verdict (measured, scripts/bench_core.py; analysis in
-docs/ntt_roofline.md): the matmuls are nearly free on the MXU, but the
-per-element digit recombination + 96-bit reduction costs ~2x the VPU ops
-of the 12 butterfly stages it replaces, and the butterfly kernel is
-already VPU-compute-bound -- so the four-step variant measures SLOWER on
-v5e.  It is retained as the committed evidence for that bound, not wired
+Performance verdict (measured on v5e, bench_core.json ntt_sweep;
+analysis in docs/ntt_roofline.md): the matmuls are nearly free on the
+MXU, but the per-element digit recombination + 96-bit reduction costs
+~2x the VPU ops of the 12 butterfly stages it replaces, and the
+butterfly kernel is already VPU-compute-bound -- measured 570 us vs the
+Pallas kernel's 91 us at [B=64, L=4, n=4096] (6.3x slower; 77 vs 24 us
+at B=16).  Retained as the committed evidence for that bound, not wired
 into the production evaluator.
 """
 

@@ -24,18 +24,22 @@ VMEM-resident data.  Bit-reversed ordering is identical to core/ntt.py, so
 the kernel is a drop-in replacement validated elementwise against it
 (tests/test_ntt.py, interpret mode; scripts/bench_core.py on hardware).
 
-MEASURED OUTCOME (v5e, B=256, n=4096, L=4; bench_core.json): this kernel
-is bit-exact but LOSES to the staged-XLA NTT -- 363 us/batch (R=16) vs
-283 us -- and the staged version's effective single-pass bandwidth
-(119 GB/s; a literal 12-pass implementation would need ~1.4 TB/s > HBM
-peak) shows XLA already fuses the butterfly stages in registers.  The NTT
-on TPU is therefore VPU-COMPUTE-bound (~1.8e12 int32 ops/s on the
-synthesized 16-bit-limb modmuls), not HBM-bound, and the roll-based
-formulation here pays ~2x the modmul work (it multiplies at u positions
-too).  The production evaluator keeps the staged-XLA NTT; this kernel is
-retained as the measured single-pass baseline.  At n=8192/L=8 the
-resident stage tables (6.9 MB) push the working set past what the
-Mosaic compiler accepts.
+MEASURED OUTCOME (v5e, n=4096, L=4; bench_core.json ntt_sweep, analysis
+in docs/ntt_roofline.md): this kernel is bit-exact and batch-flat at
+~2.7-2.8M limb-NTTs/s (24/91/363/1528 us at B=16/64/256/1024, ~92 GB/s
+effective single-pass bandwidth) -- it BEATS the staged-XLA graph at
+every batch size except XLA's B~256 fusion sweet spot (283 vs 363 us),
+so the production dispatcher (core/ntt.py:_use_pallas) routes every
+eligible transform here outside that measured window.  At 91 us for
+8.4 MB of HBM traffic the kernel is ~9x above the HBM floor: the NTT at
+30-bit primes is VPU-COMPUTE-bound (~120 synthesized int32 ops/element
+across the 12 stages, ~1.4e12 ops/s achieved), not HBM-bound.  The
+four-step MXU formulation (core/ntt4step.py) was built and measured as
+the only remaining lever and LOSES 6.3x at B=64 -- its digit-domain
+recombination costs ~2x the butterfly VPU work the MXU absorbs (see the
+roofline doc).  At n=8192/L=8 the resident stage tables (6.9 MB) push
+the working set past what the Mosaic compiler accepts, so those stay on
+the staged graph.
 
 Blocks keep the limb axis whole -- Mosaic requires the last two block dims
 divisible by (8, 128) or equal to the array's, so the block is
@@ -154,12 +158,16 @@ def _build(tables: NttTables, forward: bool, R: int, interpret: bool):
         ninv_s = np.broadcast_to(tables.n_inv_shoup, (L, n))[None]
         w = np.concatenate([w, ninv.astype(np.uint32)], axis=0)
         ws = np.concatenate([ws, ninv_s.astype(np.uint32)], axis=0)
-    w = jnp.asarray(w)    # [S, L, n]
-    ws = jnp.asarray(ws)
+    # NB: tables stay NUMPY.  _cached is an lru_cache; if the first build
+    # happens inside a jit trace (the production dispatcher routes small
+    # batches here from arbitrary call sites), jnp constants created there
+    # would be trace-local tracers cached across traces -> the round-3
+    # UnexpectedTracerError in bench_core's relinearize loop.  numpy
+    # operands are converted per call site instead.
+    w = np.ascontiguousarray(w)    # [S, L, n]
+    ws = np.ascontiguousarray(ws)
     S = w.shape[0]
-    p_arr = jnp.asarray(
-        np.broadcast_to(tables.p.reshape(L, 1), (L, 1)).astype(np.uint32)
-    )
+    p_arr = np.broadcast_to(tables.p.reshape(L, 1), (L, 1)).astype(np.uint32)
 
     kern = functools.partial(_kernel, n=n, L=L, forward=forward)
 

@@ -145,8 +145,14 @@ def main():
     def ntt_loop(fn, label):
         results["ops"][label] = sweep_entry(fn, x, label, B)
 
-    ntt_loop(lambda a: ntt_mod.ntt(a, tables), "ntt_fwd_xla")
-    ntt_loop(lambda a: ntt_mod.intt(a, tables), "ntt_inv_xla")
+    # explicit staged-XLA graphs (the production dispatcher ntt_mod.ntt
+    # routes batch<=128 TPU transforms to Pallas -- measured separately)
+    from fhetpu.core.ntt import _intt_impl
+
+    ntt_loop(lambda a: _ntt_impl(jnp, a, tables), "ntt_fwd_xla")
+    ntt_loop(lambda a: _intt_impl(jnp, a, tables), "ntt_inv_xla")
+    ntt_loop(lambda a: ntt_mod.ntt(a, tables), "ntt_fwd_dispatch")
+    ntt_loop(lambda a: ntt_mod.intt(a, tables), "ntt_inv_dispatch")
     if backend == "tpu":
         try:
             from fhetpu.core import pallas_ntt
