@@ -58,7 +58,23 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="blocks per device dispatch (streaming window)")
     p.add_argument("--no-noise-check", action="store_true",
                    help="skip the pre-dispatch invariant-noise budget check")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the server compute "
+                        "to this directory (open with TensorBoard/xprof; "
+                        "the TPU-native analog of the reference's "
+                        "chrono-span CSV, SURVEY.md 3.5)")
     return p
+
+
+def maybe_profile(args):
+    """Context manager: jax.profiler.trace(args.profile_dir) or a no-op."""
+    import contextlib
+
+    if getattr(args, "profile_dir", ""):
+        import jax
+
+        return jax.profiler.trace(args.profile_dir)
+    return contextlib.nullcontext()
 
 
 def setup_platform(args):

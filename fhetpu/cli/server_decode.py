@@ -28,7 +28,8 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, runtime_noise_check, setup_platform)
+                     make_params, maybe_profile, runtime_noise_check,
+                     setup_platform)
 from .client_decode import add_decode_flags, apply_decode_defaults
 
 
@@ -113,17 +114,18 @@ def main(argv=None):
                     f"{name} {flag} contradicts the harmonic stream "
                     f"({name.strip('-')}={wire}); omit it to adopt the wire's"
                 )
-        for ch in range(3):
-            cts = reader.read(2 * degree + 1)
-            assert cts is not None and cts.shape[0] == 2 * degree + 1
-            with t.span(len(positions)):
-                out = rd.expand_harmonics_server(
-                    ev, Ct(jnp.asarray(cts)), positions, order, degree
-                )
-            writer.append(np.asarray(ev.transform_from_ntt(out).data))
-            if args.verbose:
-                print(f"channel {ch}: {2 * degree + 1} harmonics",
-                      file=sys.stderr)
+        with maybe_profile(args):
+            for ch in range(3):
+                cts = reader.read(2 * degree + 1)
+                assert cts is not None and cts.shape[0] == 2 * degree + 1
+                with t.span(len(positions)):
+                    out = rd.expand_harmonics_server(
+                        ev, Ct(jnp.asarray(cts)), positions, order, degree
+                    )
+                writer.append(np.asarray(ev.transform_from_ntt(out).data))
+                if args.verbose:
+                    print(f"channel {ch}: {2 * degree + 1} harmonics",
+                          file=sys.stderr)
         reader.close()
         writer.close()
         t.emit()

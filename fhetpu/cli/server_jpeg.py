@@ -19,7 +19,8 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, runtime_noise_check, setup_platform)
+                     make_params, maybe_profile, runtime_noise_check,
+                     setup_platform)
 
 
 def main(argv=None):
@@ -68,18 +69,19 @@ def main(argv=None):
     t = OpTimer("DCT")
     chunk = max(args.chunk_blocks, 1)
     done = 0
-    while done < nb_total:
-        k = min(chunk, nb_total - done)
-        cts = reader.read(k * 192)
-        assert cts is not None, "ciphertext stream truncated"
-        batch = jnp.asarray(cts.reshape(k, 3, 64, 2, par.L, par.n))
-        with t.span(k * 3):
-            out = server(batch)
-            out.block_until_ready()
-        writer.append(np.asarray(out).reshape(-1, 2, par.L, par.n))
-        done += k
-        if args.verbose:
-            print(f"processed {done}/{nb_total} blocks", file=sys.stderr)
+    with maybe_profile(args):
+        while done < nb_total:
+            k = min(chunk, nb_total - done)
+            cts = reader.read(k * 192)
+            assert cts is not None, "ciphertext stream truncated"
+            batch = jnp.asarray(cts.reshape(k, 3, 64, 2, par.L, par.n))
+            with t.span(k * 3):
+                out = server(batch)
+                out.block_until_ready()
+            writer.append(np.asarray(out).reshape(-1, 2, par.L, par.n))
+            done += k
+            if args.verbose:
+                print(f"processed {done}/{nb_total} blocks", file=sys.stderr)
     reader.close()
     writer.close()
     t.emit()

@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 from .common import (OpTimer, adopt_stream_params, base_parser, make_encoder,
-                     make_params, runtime_noise_check, setup_platform)
+                     make_params, maybe_profile, runtime_noise_check,
+                     setup_platform)
 from .client_resize import add_resize_flags
 
 
@@ -131,6 +132,8 @@ def main(argv=None):
         return window
 
     ctile = args.tile_cols if args.tile_cols > 0 else w2
+    prof = maybe_profile(args)
+    prof.__enter__()
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
@@ -162,6 +165,7 @@ def main(argv=None):
         writer.append(full.reshape(-1, size_out, par.L, par.n))
         if args.verbose:
             print(f"rows {y0}..{y1} done (window {lo}..{hi})", file=sys.stderr)
+    prof.__exit__(None, None, None)
     reader.close()
     writer.close()
     t.emit()

@@ -122,38 +122,48 @@ def _free_port():
     return port
 
 
-def _run_two_processes(child_src, ok_token, timeout=300):
-    port = _free_port()
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep axon PJRT out of children
-    env.update(
-        JAX_PLATFORMS="cpu",
-        JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-        JAX_NUM_PROCESSES="2",
-        XLA_FLAGS="",  # children use 1 real local CPU device each
-    )
-    procs = []
-    for pid in range(2):
-        e = dict(env, JAX_PROCESS_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-c", child_src % REPO, str(pid)],
-                env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
-            )
+def _run_two_processes(child_src, ok_token, timeout=300, attempts=3):
+    # _free_port closes the probe socket before the coordinator child binds
+    # it -- a TOCTOU that can flake if another process grabs the port in
+    # between (ADVICE.md round-2), so bind failures retry with a new port
+    last = None
+    for _ in range(attempts):
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # keep axon PJRT out of children
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            XLA_FLAGS="",  # children use 1 real local CPU device each
         )
-    outs = []
-    for pid, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-        assert p.returncode == 0, f"process {pid} failed:\n{out}"
-    for pid, out in enumerate(outs):
-        assert f"{ok_token} {pid}" in out, out
+        procs = []
+        for pid in range(2):
+            e = dict(env, JAX_PROCESS_ID=str(pid))
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-c", child_src % REPO, str(pid)],
+                    env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        outs = []
+        for pid, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            for pid, out in enumerate(outs):
+                assert f"{ok_token} {pid}" in out, out
+            return
+        last = "\n".join(outs)
+        if "bind" not in last.lower() and "address" not in last.lower():
+            break  # a real failure, not the port race
+    raise AssertionError(f"distributed children failed:\n{last}")
 
 
 def test_two_process_init_and_global_reduce(tmp_path):
