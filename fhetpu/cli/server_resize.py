@@ -132,8 +132,26 @@ def main(argv=None):
         return window
 
     ctile = args.tile_cols if args.tile_cols > 0 else w2
-    prof = maybe_profile(args)
-    prof.__enter__()
+    with maybe_profile(args):
+        _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
+                   col_plan, mode, tile, ctile, w, w2, h2, size_out, par,
+                   advance_to)
+    reader.close()
+    writer.close()
+    t.emit()
+
+
+def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
+               col_plan, mode, tile, ctile, w, w2, h2, size_out, par,
+               advance_to):
+    import sys
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..pipelines import resize as rz
+
+    interp_per_px = 20 if args.bicubic else 3
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
@@ -165,10 +183,6 @@ def main(argv=None):
         writer.append(full.reshape(-1, size_out, par.L, par.n))
         if args.verbose:
             print(f"rows {y0}..{y1} done (window {lo}..{hi})", file=sys.stderr)
-    prof.__exit__(None, None, None)
-    reader.close()
-    writer.close()
-    t.emit()
 
 
 if __name__ == "__main__":

@@ -147,7 +147,18 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     imgs = _prep_images(args.workdir)
     todo = set(args.configs.split(","))
+    # merge-with-existing so heavy configs (jpegkung's ~30 GB ciphertext
+    # round trip through the remote-TPU tunnel) can run as separate
+    # invocations and still land in one aggregate
     results = {}
+    prior = os.path.join(args.out, "results.json")
+    if os.path.exists(prior):
+        try:
+            with open(prior) as f:
+                results = {k: v for k, v in json.load(f).items()
+                           if not k.startswith("_")}
+        except (OSError, ValueError):
+            results = {}
 
     def log_path(name):
         p = os.path.join(args.out, f"{name}.txt")
