@@ -86,18 +86,35 @@ def _prep_images(workdir):
     return out
 
 
-def run_cli(args_list, log, env=None):
+def run_cli(args_list, log, env=None, timeout=None, retries=1):
+    """One CLI stage with a hang timeout + retry: the axon remote-TPU
+    tunnel occasionally wedges an RPC indefinitely (process sleeps on a
+    futex with no traffic); a timed-out stage is killed and retried once
+    before the config is recorded as failed."""
     cmd = [sys.executable, "-m"] + args_list
-    t0 = time.perf_counter()
-    with open(log, "a") as f:
-        f.write("$ " + " ".join(cmd) + "\n")
-        f.flush()
-        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                           env=env, cwd=REPO)
-    dt = time.perf_counter() - t0
-    if r.returncode:
-        raise RuntimeError(f"{' '.join(cmd)} -> rc={r.returncode}; see {log}")
-    return dt
+    if timeout is None:
+        timeout = int(os.environ.get("FHETPU_BENCH_STAGE_TIMEOUT", 2700))
+    last = None
+    for attempt in range(retries + 1):
+        t0 = time.perf_counter()
+        with open(log, "a") as f:
+            f.write("$ " + " ".join(cmd)
+                    + (f"   # retry {attempt}\n" if attempt else "\n"))
+            f.flush()
+            try:
+                r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                   env=env, cwd=REPO, timeout=timeout)
+            except subprocess.TimeoutExpired:
+                f.write(f"\n[stage timed out after {timeout}s -- killed]\n")
+                last = RuntimeError(
+                    f"{' '.join(cmd)} hung >{timeout}s; see {log}")
+                continue
+        dt = time.perf_counter() - t0
+        if r.returncode:
+            raise RuntimeError(
+                f"{' '.join(cmd)} -> rc={r.returncode}; see {log}")
+        return dt
+    raise last
 
 
 def roundtrip(kind, image, log, workdir, n=4096, extra_client=(),
