@@ -77,24 +77,30 @@ class PlainOperand:
 
 
 class DeviceRelinKeys:
-    """jnp copy of host RelinKeys (keys already in NTT domain).
+    """Host RelinKeys prepared for device use (keys already in NTT domain).
 
     ``stacked(size)`` concatenates keys[2..size-1] along the digit axis in
     component order, matching the evaluator's flattened (component, limb,
     sub-digit) digit layout -- one contraction instead of nested loops.
+
+    Keys and the stacked cache stay NUMPY: relinearize is routinely traced
+    under jax.jit, and caching a jnp array first built inside a trace would
+    cache a trace-local tracer (the bench_core round-3 failure mode);
+    numpy constants embed safely into any trace.
     """
 
     def __init__(self, host_rk):
-        self.keys = {k: jnp.asarray(v) for k, v in host_rk.keys.items()}
+        self.keys = {k: np.ascontiguousarray(v)
+                     for k, v in host_rk.keys.items()}
         self.digit_bits = int(getattr(host_rk, "digit_bits", 0) or 0)
         # digits per limb, derived from the key shape (keys[k]: [L*D, 2, L, n])
         any_key = next(iter(self.keys.values()))
         self.n_subdigits = any_key.shape[0] // any_key.shape[2]
         self._stacked_cache: dict = {}
 
-    def stacked(self, size: int) -> jnp.ndarray:
+    def stacked(self, size: int) -> np.ndarray:
         if size not in self._stacked_cache:
-            self._stacked_cache[size] = jnp.concatenate(
+            self._stacked_cache[size] = np.concatenate(
                 [self.keys[k] for k in range(2, size)], axis=0
             )
         return self._stacked_cache[size]

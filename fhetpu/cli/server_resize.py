@@ -152,6 +152,7 @@ def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
     from ..pipelines import resize as rz
 
     interp_per_px = 20 if args.bicubic else 3
+    tile_fn = rz.make_tile_fn(ev, mode, args.plain_fracts, relin)
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
@@ -171,9 +172,7 @@ def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
                                                encryptor=encryptor,
                                                relin=relin)
             with t.span((y1 - y0) * (x1 - x0) * interp_per_px):
-                out = rz.resize_tile(ev, win, rp, cp, yops, xops,
-                                     mode, plain=args.plain_fracts,
-                                     relin=relin)
+                out = tile_fn(win, rp.idx, cp.idx, yops, xops)
                 out.block_until_ready()
             row_chunks.append(np.asarray(out))
             del out

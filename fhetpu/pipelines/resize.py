@@ -68,7 +68,10 @@ def axis_plan(src: int, dst: int, mode: int) -> AxisPlan:
 
 class StackedPlain:
     """Duck-typed PlainOperand whose tables are stacked along output axes
-    and reshaped to broadcast against tile data [R', C', ch, size, L, n]."""
+    and reshaped to broadcast against tile data [R', C', ch, size, L, n].
+    Registered as a pytree so fract bundles pass through jit as arguments
+    (one compiled dispatch per tile shape instead of per-op eager RPCs --
+    essential over the remote-TPU tunnel)."""
 
     def __init__(self, mul_ntt, mul_ntt_shoup):
         self.mul_ntt = mul_ntt
@@ -200,6 +203,70 @@ class PlainFracts:
             self.t3 = stack_plain_operands_coeffs(ev, t3s, bshape)
 
 
+def _register_bundle_pytrees():
+    """Flatten fract bundles to their arrays so they pass through jax.jit."""
+    import jax
+
+    def _flat_attrs(obj):
+        names = tuple(sorted(k for k, v in vars(obj).items()
+                             if not k.startswith("_")))
+        return names, tuple(getattr(obj, k) for k in names)
+
+    def _sp_flatten(o):
+        names, vals = _flat_attrs(o)
+        return vals, names
+
+    def _sp_unflatten(names, vals):
+        o = StackedPlain.__new__(StackedPlain)
+        for k, v in zip(names, vals):
+            setattr(o, k, v)
+        return o
+
+    jax.tree_util.register_pytree_node(StackedPlain, _sp_flatten, _sp_unflatten)
+
+    def _make(cls):
+        def flatten(o):
+            names, vals = _flat_attrs(o)
+            return vals, names
+
+        def unflatten(names, vals):
+            o = cls.__new__(cls)
+            for k, v in zip(names, vals):
+                setattr(o, k, v)
+            return o
+
+        jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+    _make(PlainFracts)
+    _make(EncryptedFracts)
+
+
+_register_bundle_pytrees()
+
+
+_TILE_FN_CACHE: dict = {}
+
+
+def make_tile_fn(ev, mode: int, plain: bool, relin=None):
+    """Jitted resize_tile: ONE device dispatch per tile (the eager op-by-op
+    version pays a tunnel round trip per modular op on remote TPUs).  Index
+    plans are traced arguments, so every tile with the same shapes reuses
+    one executable regardless of its index values."""
+    import jax
+
+    key = (id(ev), mode, plain, id(relin))
+    if key not in _TILE_FN_CACHE:
+
+        def fn(win, rp_idx, cp_idx, yops, xops):
+            rp = AxisPlan(idx=rp_idx, fract=None)
+            cp = AxisPlan(idx=cp_idx, fract=None)
+            return resize_tile(ev, win, rp, cp, yops, xops, mode, plain,
+                               relin)
+
+        _TILE_FN_CACHE[key] = jax.jit(fn)
+    return _TILE_FN_CACHE[key]
+
+
 def make_fract_bundles(ev, row_plan, col_plan, mode, encryptor=None,
                        relin=None):
     """Build (yops, xops) for a full output grid [R', C'].
@@ -228,12 +295,13 @@ def resize_tile(ev, src, row_plan: AxisPlan, col_plan: AxisPlan, yops, xops,
     from ..bfv.evaluator import Ct
 
     taps = 2 if mode == BILINEAR else 4
+    R, C = row_plan.idx.shape[0], col_plan.idx.shape[0]
     # gather [taps_y, taps_x, R', C', 3, 2, L, n]
-    rows = jnp.take(src, jnp.asarray(row_plan.idx.T.reshape(-1)), axis=0)
-    rows = rows.reshape((taps, len(row_plan.fract)) + src.shape[1:])
-    grid = jnp.take(rows, jnp.asarray(col_plan.idx.T.reshape(-1)), axis=2)
+    rows = jnp.take(src, jnp.asarray(row_plan.idx).T.reshape(-1), axis=0)
+    rows = rows.reshape((taps, R) + src.shape[1:])
+    grid = jnp.take(rows, jnp.asarray(col_plan.idx).T.reshape(-1), axis=2)
     grid = grid.reshape(
-        (taps, len(row_plan.fract), taps, len(col_plan.fract)) + src.shape[2:]
+        (taps, R, taps, C) + src.shape[2:]
     ).transpose(0, 2, 1, 3, 4, 5, 6, 7)
 
     if plain:
