@@ -119,9 +119,10 @@ def main(argv=None):
                 cts = reader.read(2 * degree + 1)
                 assert cts is not None and cts.shape[0] == 2 * degree + 1
                 with t.span(len(positions)):
-                    out = rd.expand_harmonics_server(
+                    out = rd.expand_harmonics_batched(
                         ev, Ct(jnp.asarray(cts)), positions, order, degree
                     )
+                    out.data.block_until_ready()
                 writer.append(np.asarray(ev.transform_from_ntt(out).data))
                 if args.verbose:
                     print(f"channel {ch}: {2 * degree + 1} harmonics",

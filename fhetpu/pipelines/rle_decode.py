@@ -334,6 +334,83 @@ def fourier_harmonics_host(
     return h
 
 
+def _ev_cache(ev):
+    cache = getattr(ev, "_stacked_tab_cache", None)
+    if cache is None:
+        cache = ev._stacked_tab_cache = {}
+    return cache
+
+
+def harmonic_weight_tables(ev: Evaluator, positions: np.ndarray, order: int,
+                           degree: int):
+    """Device [H, P, L, n] NTT tables of the expansion weight encodings,
+    rows [1, cos(a_1 i).., cos(a_d i), sin(a_1 i).., sin(a_d i)].
+
+    Weights are uploaded as COMPACT mod-t coefficients (uint16 when t fits)
+    and centered-lifted + forward-transformed ON DEVICE -- at order-64
+    reference scale the host-lifted tables would be L x 4 bytes per
+    coefficient through the remote-TPU tunnel; this path ships 2.  Cached
+    per (order, degree, positions) on the evaluator, shared by channels."""
+    import jax.numpy as jnp
+
+    from ..core import ntt as _ntt
+
+    pos = np.asarray(positions, dtype=np.float64)
+    key = ("harmW", order, degree, len(pos), hash(pos.tobytes()))
+    cache = _ev_cache(ev)
+    if key in cache:
+        return cache[key]
+    H = 2 * degree + 1
+    W = np.ones((H, len(pos)))
+    for j in range(1, degree + 1):
+        a_j = float(np.float32(j)) * M_PI / float(order)
+        W[j] = np.cos(a_j * pos)
+        W[degree + j] = np.sin(a_j * pos)
+    coeffs = ev.encoder.encode_batch(W.reshape(-1))  # [H*P, n] in [0, t)
+    par = ev.params
+    dt = np.uint16 if par.t <= (1 << 16) else np.uint32
+    c_dev = jnp.asarray(coeffs.astype(dt)).astype(jnp.uint32)[..., None, :]
+    # centered lift per limb: m >= ceil((t+1)/2) -> m - t + p_l
+    thr = jnp.uint32(par.plain_upper_half_threshold)
+    p_col = jnp.asarray(par.consts.qp).reshape(par.L, 1)  # [L,1]
+    t_u = jnp.uint32(par.t)
+    lifted = jnp.where(c_dev >= thr, c_dev - t_u + p_col, c_dev)
+    tab = _ntt.ntt(lifted, par.tables_q)  # [H*P, L, n]
+    tab = tab.reshape(H, len(pos), par.L, par.n)
+    cache[key] = tab
+    return tab
+
+
+def expand_harmonics_batched(
+    ev: Evaluator, harm: Ct, positions: np.ndarray, order: int, degree: int
+) -> Ct:
+    """One-dispatch harmonic expansion: jitted fori over the H harmonics,
+    tables and harmonics as traced arguments.  Bit-identical to
+    expand_harmonics_server (asserted in tests/test_decode.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    tabs = harmonic_weight_tables(ev, positions, order, degree)
+    hn = ev.transform_to_ntt(harm).data  # [H, size, L, n]
+    key = ("harm_fn", tabs.shape, hn.shape)
+    cache = _ev_cache(ev)
+    if key not in cache:
+        p, mu, sh = ev.p, ev.mu, ev.shift
+
+        def fn(tabs_, hn_):
+            def body(k, acc):
+                term = modops.mulmod(tabs_[k][:, None], hn_[k][None],
+                                     p, mu, sh)
+                return modops.addmod(acc, term, p)
+
+            acc0 = jnp.zeros((tabs_.shape[1],) + hn_.shape[1:], jnp.uint32)
+            return lax.fori_loop(0, tabs_.shape[0], body, acc0)
+
+        cache[key] = jax.jit(fn)
+    return Ct(cache[key](tabs, hn), True)
+
+
 def expand_harmonics_server(
     ev: Evaluator, harm: Ct, positions: np.ndarray, order: int, degree: int
 ) -> Ct:

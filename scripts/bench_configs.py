@@ -293,10 +293,15 @@ def main():
             r = roundtrip("jpeg", resized, log, args.workdir, n=4096,
                           platform=args.platform)
             chain["stage2_jpeg"] = r
+            # stage 3 uses the trusted overload -- the mode the reference
+            # server actually runs (fhe_decode.h:244-282); the harmonic
+            # pure-FHE protocol at order 576 would need [2d+1, 576, L, n]
+            # weight tables (tens of GB) -- it is exercised at reference
+            # scale (order 16/64) by the decode configs instead
             log = log_path("chain_decode")
+            dec_flags = ["--order", "576", "--degree", "192"]
             r = roundtrip("decode", resized, log, args.workdir, n=4096,
-                          extra_client=["--order", "576", "--degree", "192",
-                                        "--harmonics"],
+                          extra_client=dec_flags, extra_server=dec_flags,
                           platform=args.platform)
             chain["stage3_decode"] = r
             chain["total_s"] = round(sum(

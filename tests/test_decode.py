@@ -138,6 +138,14 @@ def test_harmonics_matches_trusted_series(ctx, order):
     # measured max |diff| ~ 9e-6 at order 64)
     np.testing.assert_allclose(got, trusted, atol=1e-4)
 
+    # the one-dispatch batched expansion (device-lifted weight tables,
+    # jitted fori over harmonics) is bit-identical to the reference
+    # per-harmonic expansion
+    out_b = rd.expand_harmonics_batched(ev, harm_ct, positions, order, degree)
+    np.testing.assert_array_equal(
+        np.asarray(ev.transform_from_ntt(out_b).data), out_np
+    )
+
 
 def test_pure_fhe_taylor_within_range():
     """Reworked Taylor pure-FHE step inside its measured digit-growth
