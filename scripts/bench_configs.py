@@ -337,6 +337,13 @@ def main():
                 lines.append(f"  {k},{r[k]}")
         lines.append("")
     lines += [
+        "# NOTE on per-op ms rows: servers here reach the TPU through the",
+        "# axon remote tunnel, so CLI spans include host<->device ciphertext",
+        "# transfer at ~MB/s plus first-compile -- they measure the",
+        "# END-TO-END protocol on this link, not chip compute.  On-chip",
+        "# compute throughput is the committed bench_details.json /",
+        "# bench_core.json numbers (in-graph fori_loop timing).",
+        "#",
         "# bicubic full-res feasibility (BASELINE config 3):",
         "# coolboaz-fullres.jpg is 3015x3016; one ciphertext per pixel-",
         "# channel (the reference protocol) at n=4096/L=4 is 128 KiB per",
