@@ -144,6 +144,7 @@ def server_compute_fn(
     output_ntt: bool = False,
     use_fast: Optional[bool] = None,
     use_fused: bool = False,
+    fused_chunk: Optional[int] = None,
 ):
     """Build the jittable server op: [nb, 3, 64, 2, L, n] -> same shape.
 
@@ -184,7 +185,8 @@ def server_compute_fn(
         if use_fused and not apply_quantize:
             from ..core.pallas_server import server_ycc_dct_fused
 
-            out = server_ycc_dct_fused(ev, d, interpret=pallas_interpret)
+            out = server_ycc_dct_fused(ev, d, interpret=pallas_interpret,
+                                       chunk=fused_chunk)
             if output_ntt:
                 return out
             return ev.transform_from_ntt(Ct(out, True)).data
