@@ -82,32 +82,38 @@ def mulhi32(a, b):
     return a1 * b1 + ((a1 * b0) >> 16) + ((a0 * b1) >> 16) + (mid >> 16)
 
 
+def reduce_once(r, p):
+    """Conditional subtract for uint32 r in [0, 2p), p < 2^31:
+    ``min(r, r - p)`` -- when r < p the subtraction wraps above 2^31 and
+    loses, when r >= p the reduced value wins.  One VPU op cheaper than
+    compare+select, bit-identical result."""
+    return jnp.minimum(r, r - p)
+
+
 def mulmod(a, b, p, mu, shift):
     """a*b mod p via Barrett; a, b canonical in [0, p); p < 2^30."""
     hi, lo = mul32(a, b)
     xs = (hi << (32 - shift)) | (lo >> shift)
     q = mulhi32(xs, mu)
     r = lo - q * p
-    two_p = p << 1
-    r = jnp.where(r >= two_p, r - two_p, r)
-    return jnp.where(r >= p, r - p, r)
+    r = reduce_once(r, p << 1)
+    return reduce_once(r, p)
 
 
 def mulmod_shoup(x, w, w_shoup, p):
     """x*w mod p with precomputed w_shoup = floor(w*2^32/p); x in [0, p)."""
     q = mulhi32(x, w_shoup)
     r = x * w - q * p
-    return jnp.where(r >= p, r - p, r)
+    return reduce_once(r, p)
 
 
 def addmod(a, b, p):
-    r = a + b
-    return jnp.where(r >= p, r - p, r)
+    return reduce_once(a + b, p)
 
 
 def submod(a, b, p):
-    r = a + p - b
-    return jnp.where(r >= p, r - p, r)
+    # a - b wraps when a < b; a + p - b is then the winner (in [0, p))
+    return jnp.minimum(a - b, a + p - b)
 
 
 def negmod(a, p):

@@ -248,9 +248,8 @@ def _combine(parts, p, mu, shift, c32, c64, bias, bias_bits):
         xs = x >> shift
         q = modops.mulhi32(xs, mu)
         r = x - q * p
-        two_p = p << 1
-        r = jnp.where(r >= two_p, r - two_p, r)
-        return jnp.where(r >= p, r - p, r)
+        r = modops.reduce_once(r, p << 1)
+        return modops.reduce_once(r, p)
 
     r = red32(w0)
     r = modops.addmod(r, modops.mulmod(red32(w1), c32, p, mu, shift), p)
