@@ -111,7 +111,14 @@ def main(argv=None):
     # consecutive tiles leave a gap between row stencils (e.g. bilinear
     # 48->17, step 3), gap rows are read and discarded, never silently
     # skipped -- skipping desynchronizes every later read.
-    window = None  # np [rows, w, 3, 2, L, n]
+    #
+    # The window lives ON DEVICE across tiles: only newly-read rows are
+    # uploaded (jnp.asarray), then concatenated/sliced device-side.  The
+    # previous host-resident window re-uploaded every overlapping row each
+    # tile -- ~295 MB per 4-row tile at n=8192, which dominated wall clock
+    # on a remote-tunnel link; with the delta upload each source row
+    # crosses the host->device boundary exactly once.
+    window = None  # device array [rows, w, 3, 2, L, n]
     win_lo = 0
     rows_read = 0  # total source rows consumed from the stream
 
@@ -120,8 +127,8 @@ def main(argv=None):
         if rows_read < hi:
             more = reader.read((hi - rows_read) * w * 3)
             assert more is not None, "source stream truncated"
-            more = more.reshape(-1, w, 3, 2, par.L, par.n)
-            window = more if window is None else np.concatenate(
+            more = jnp.asarray(more.reshape(-1, w, 3, 2, par.L, par.n))
+            window = more if window is None else jnp.concatenate(
                 [window, more], axis=0
             )
             rows_read = hi
@@ -157,7 +164,7 @@ def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
         lo, hi = int(rp_idx.min()), int(rp_idx.max()) + 1
-        win = jnp.asarray(advance_to(lo, hi))
+        win = advance_to(lo, hi)  # device-resident window
         rp = rz.AxisPlan(idx=rp_idx - lo, fract=row_plan.fract[y0:y1])
         # column chunks bound the live intermediate tensors of one dispatch
         # (the unrelinearized bicubic ct*ct tensor product holds size-8
