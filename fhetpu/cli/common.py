@@ -78,11 +78,27 @@ def maybe_profile(args):
 
 
 def setup_platform(args):
-    """Apply platform override before first jax device use."""
-    if args.platform:
-        import jax
+    """Apply platform override + persistent compile cache before first jax
+    device use.  The cache matters operationally: the deep ct*ct pipeline
+    graphs (bicubic BEHZ at n=8192) take many minutes to compile, and
+    without a persistent cache every server invocation -- including the
+    bench harness's hang-timeout retries -- pays it again.  Opt out with
+    FHETPU_NO_COMPILE_CACHE=1."""
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if not os.environ.get("FHETPU_NO_COMPILE_CACHE"):
+        cache = os.environ.get(
+            "FHETPU_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass  # older jax without these options
 
 
 def _apply_param_defaults(args):
