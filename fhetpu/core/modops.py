@@ -83,11 +83,14 @@ def mulhi32(a, b):
 
 
 def reduce_once(r, p):
-    """Conditional subtract for uint32 r in [0, 2p), p < 2^31:
-    ``min(r, r - p)`` -- when r < p the subtraction wraps above 2^31 and
-    loses, when r >= p the reduced value wins.  One VPU op cheaper than
-    compare+select, bit-identical result."""
-    return jnp.minimum(r, r - p)
+    """Conditional subtract for uint32 r in [0, 2p): canonical
+    compare+select.  NOTE an unsigned-min formulation ``min(r, r - p)``
+    (one VPU op fewer; the wrapped r - p loses exactly when r < p) is
+    bit-identical and works under XLA, but these helpers are traced
+    inside Pallas kernels too and Mosaic cannot legalize vector
+    ``arith.minui`` (measured: TPU kernel compile failure), so the
+    where-form stays."""
+    return jnp.where(r >= p, r - p, r)
 
 
 def mulmod(a, b, p, mu, shift):
@@ -112,8 +115,8 @@ def addmod(a, b, p):
 
 
 def submod(a, b, p):
-    # a - b wraps when a < b; a + p - b is then the winner (in [0, p))
-    return jnp.minimum(a - b, a + p - b)
+    r = a + p - b
+    return jnp.where(r >= p, r - p, r)
 
 
 def negmod(a, p):

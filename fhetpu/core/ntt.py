@@ -113,14 +113,13 @@ def xp_mulmod_shoup(xp, x, w, ws, p):
 
 
 def _addmod(xp, a, b, p):
-    # min-trick conditional subtract (see modops.reduce_once): valid for
-    # uint32 wraparound semantics on both numpy and jnp
     r = a + b
-    return xp.minimum(r, r - p)
+    return xp.where(r >= p, r - p, r)
 
 
 def _submod(xp, a, b, p):
-    return xp.minimum(a - b, a + p - b)
+    r = a + p - b
+    return xp.where(r >= p, r - p, r)
 
 
 def _ntt_impl(xp, x, tables: NttTables):

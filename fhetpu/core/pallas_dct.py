@@ -50,21 +50,22 @@ def pack_dct_constants(ev):
 
 
 def _addmod(a, b, p):
-    # min-trick conditional subtract (modops.reduce_once): one VPU op
-    # cheaper than compare+select, bit-identical
+    # compare+select, NOT min(r, r-p): Mosaic cannot legalize vector
+    # arith.minui (see modops.reduce_once)
     r = a + b
-    return jnp.minimum(r, r - p)
+    return jnp.where(r >= p, r - p, r)
 
 
 def _submod(a, b, p):
-    return jnp.minimum(a - b, a + p - b)
+    r = a + p - b
+    return jnp.where(r >= p, r - p, r)
 
 
 def _shoup(x, w, ws, p):
     # mulhi via 16-bit split (no 64-bit ints on TPU)
     q = modops.mulhi32(x, ws)
     r = x * w - q * p
-    return jnp.minimum(r, r - p)
+    return jnp.where(r >= p, r - p, r)
 
 
 def _aan_pass(slots, C, Csh, p, scale_eighth: bool):
