@@ -115,14 +115,24 @@ def fract_polys(encoder, fracs, mode):
     return ts, omts, t2s, t3s
 
 
+_POWERS_FN_CACHE = {}
+
+
 class EncryptedFracts:
     """t, t^2, t^3 ciphertext batches shaped to broadcast along an axis.
 
     With relin keys, every ct*ct product is keyswitched back to size 2
     (capping both noise and the downstream tensor sizes -- the reference
-    parses --dbc but never relinearizes, SURVEY.md 2.4)."""
+    parses --dbc but never relinearizes, SURVEY.md 2.4).
+
+    The power chain (square -> multiply -> relinearize) runs as ONE jitted
+    dispatch: eagerly it decomposes into hundreds of per-op device calls,
+    which on a remote-tunnel TPU is hundreds of RPC round trips per tile
+    (measured: the round-2/3 bicubic ct*ct stalls -- zero output rows
+    after 20 minutes -- were exactly this)."""
 
     def __init__(self, ev, encryptor, fracs, bshape, mode, relin=None):
+        import jax
         import jax.numpy as jnp
 
         from ..bfv.evaluator import Ct
@@ -132,11 +142,26 @@ class EncryptedFracts:
         newshape = tuple(bshape) + cts.shape[-3:]
         t = Ct(jnp.asarray(cts).reshape(newshape), False)
         self.t = t
+        key = (id(ev), id(relin), mode)
+        if key not in _POWERS_FN_CACHE:
+            if mode == BICUBIC:
+
+                def powers(tc):
+                    t2 = _maybe_relin(ev, ev.square(tc), relin)  # size 3 (fhe_resize.h:174)
+                    t3 = _maybe_relin(ev, ev.multiply(t2, tc), relin)  # size 4 (fhe_resize.h:175)
+                    return t2, t3
+
+            else:
+                one = ev.encode(1.0)
+
+                def powers(tc):
+                    return ev.add_plain(ev.negate(tc), one)
+
+            _POWERS_FN_CACHE[key] = jax.jit(powers)
         if mode == BICUBIC:
-            self.t2 = _maybe_relin(ev, ev.square(t), relin)  # size 3 (fhe_resize.h:174)
-            self.t3 = _maybe_relin(ev, ev.multiply(self.t2, t), relin)  # size 4 (fhe_resize.h:175)
+            self.t2, self.t3 = _POWERS_FN_CACHE[key](t)
         else:
-            self.one_minus_t = ev.add_plain(ev.negate(t), ev.encode(1.0))
+            self.one_minus_t = _POWERS_FN_CACHE[key](t)
 
 
 def _maybe_relin(ev, ct, relin):

@@ -201,6 +201,10 @@ def main():
             results[name] = {"error": str(e)[:500], "log_tail": tail,
                              "ops": aggregate(log)}
             print(f"{name} FAILED: {e}", file=sys.stderr, flush=True)
+        # checkpoint after EVERY config: a killed/crashed sweep must not
+        # lose the configs that already finished
+        with open(os.path.join(args.out, "results.json"), "w") as f:
+            json.dump(results, f, indent=1)
 
     if "jpeg" in todo and "boaz" in imgs:
         # the reference's committed jpg rows came from boazbarak.jpg 48x48
