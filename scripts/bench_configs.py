@@ -231,57 +231,6 @@ def main():
             extra_client=size, extra_server=size + ["--plain-fracts"],
             platform=args.platform))
 
-    if "bicubic" in todo and "boaz" in imgs:
-        # faithful encrypted-fraction ct x ct path at the reference's 17x17;
-        # 1-row x 4-col tiles bound the unrelinearized size-8 tensor product
-        # (full 17-col tiles RESOURCE_EXHAUSTED a v5e chip at n=8192)
-        size = ["--width", "17", "--height", "17", "--bicubic"]
-        run_config("bicubic_boaz_17x17_ctct", lambda log: roundtrip(
-            "resize", imgs["boaz"], log, args.workdir, n=8192,
-            extra_client=size,
-            extra_server=size + ["--tile-rows", "1", "--tile-cols", "4"],
-            platform=args.platform))
-        # relinearized ct x ct variant: sizes capped at 2, full tiles fit
-        run_config("bicubic_boaz_17x17_ctct_relin", lambda log: roundtrip(
-            "resize", imgs["boaz"], log, args.workdir, n=8192,
-            extra_client=size + ["--relin", "--dbc", "30"],
-            extra_server=size + ["--relin", "--tile-rows", "2"],
-            platform=args.platform))
-        # plain-fract fast path, half-res
-        sizep = ["--width", "24", "--height", "24", "--bicubic"]
-        run_config("bicubic_boaz_halfres_plainfract", lambda log: roundtrip(
-            "resize", imgs["boaz"], log, args.workdir, n=4096,
-            extra_client=sizep, extra_server=sizep + ["--plain-fracts"],
-            platform=args.platform))
-
-    if "decode" in todo:
-        for name, img_key, order in (("decode_order16", "tiny4", 16),
-                                     ("decode_order64", "tiny8", 64)):
-            if img_key not in imgs:
-                continue
-            for mode in ("trusted", "harmonics"):
-                dec_flags = ["--order", str(order), "--degree",
-                             str(3 * order)]
-                client_extra = dec_flags + (
-                    ["--harmonics"] if mode == "harmonics" else [])
-                # harmonic streams carry degree/order on the wire; the
-                # trusted pair-stream server needs the flags explicitly
-                server_extra = [] if mode == "harmonics" else dec_flags
-
-                def dec_run(log, _img_key=img_key, _ce=client_extra,
-                            _se=server_extra):
-                    r = roundtrip("decode", imgs[_img_key], log, args.workdir,
-                                  n=4096, extra_client=_ce, extra_server=_se,
-                                  platform=args.platform)
-                    from fhetpu.io import images as _img
-
-                    ours = _img.load_rgb(r["out"]).astype(np.float64)
-                    orig = _img.load_rgb(imgs[_img_key]).astype(np.float64)
-                    rms = float(np.sqrt(((ours - orig) ** 2).mean()))
-                    return {**r, "rms_vs_input": round(rms, 3)}
-
-                run_config(f"{name}_{mode}", dec_run)
-
     if "chain" in todo and "boaz" in imgs:
         def chain_run(_log):
             chain = {}
@@ -314,6 +263,61 @@ def main():
             return chain
 
         run_config("chain_1host", chain_run)
+
+    if "bicubic" in todo and "boaz" in imgs:
+        # sub-config order: cheapest compile first, so a wall-clock-bounded
+        # sweep banks the variants most likely to finish before attempting
+        # the heavyweight unrelinearized tensor-product graph
+        size = ["--width", "17", "--height", "17", "--bicubic"]
+        # plain-fract fast path, half-res
+        sizep = ["--width", "24", "--height", "24", "--bicubic"]
+        run_config("bicubic_boaz_halfres_plainfract", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=4096,
+            extra_client=sizep, extra_server=sizep + ["--plain-fracts"],
+            platform=args.platform))
+        # relinearized ct x ct variant: sizes capped at 2, full tiles fit
+        run_config("bicubic_boaz_17x17_ctct_relin", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=8192,
+            extra_client=size + ["--relin", "--dbc", "30"],
+            extra_server=size + ["--relin", "--tile-rows", "2"],
+            platform=args.platform))
+        # faithful encrypted-fraction ct x ct path at the reference's 17x17;
+        # 1-row x 4-col tiles bound the unrelinearized size-8 tensor product
+        # (full 17-col tiles RESOURCE_EXHAUSTED a v5e chip at n=8192)
+        run_config("bicubic_boaz_17x17_ctct", lambda log: roundtrip(
+            "resize", imgs["boaz"], log, args.workdir, n=8192,
+            extra_client=size,
+            extra_server=size + ["--tile-rows", "1", "--tile-cols", "4"],
+            platform=args.platform))
+
+    if "decode" in todo:
+        for name, img_key, order in (("decode_order16", "tiny4", 16),
+                                     ("decode_order64", "tiny8", 64)):
+            if img_key not in imgs:
+                continue
+            for mode in ("trusted", "harmonics"):
+                dec_flags = ["--order", str(order), "--degree",
+                             str(3 * order)]
+                client_extra = dec_flags + (
+                    ["--harmonics"] if mode == "harmonics" else [])
+                # harmonic streams carry degree/order on the wire; the
+                # trusted pair-stream server needs the flags explicitly
+                server_extra = [] if mode == "harmonics" else dec_flags
+
+                def dec_run(log, _img_key=img_key, _ce=client_extra,
+                            _se=server_extra):
+                    r = roundtrip("decode", imgs[_img_key], log, args.workdir,
+                                  n=4096, extra_client=_ce, extra_server=_se,
+                                  platform=args.platform)
+                    from fhetpu.io import images as _img
+
+                    ours = _img.load_rgb(r["out"]).astype(np.float64)
+                    orig = _img.load_rgb(imgs[_img_key]).astype(np.float64)
+                    rms = float(np.sqrt(((ours - orig) ** 2).mean()))
+                    return {**r, "rms_vs_input": round(rms, 3)}
+
+                run_config(f"{name}_{mode}", dec_run)
+
 
     import jax
 
@@ -355,6 +359,12 @@ def main():
         "# before any compute -- infeasible for ANY implementation of this",
         "# protocol; the sharded-halo bicubic stencil is validated on the",
         "# device mesh instead (tests/test_sharding.py, dryrun_multichip).",
+        "#",
+        "# N-host chain (BASELINE config 5 second half): one real chip is",
+        "# available, so the multi-host path is exercised by",
+        "# tests/test_distributed.py -- the dp JPEG ciphertext op under a",
+        "# real 2-process jax.distributed job, bit-exact vs single process",
+        "# -- and by the driver's dryrun_multichip sharding compile.",
     ]
     with open(os.path.join(args.out, "results.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
