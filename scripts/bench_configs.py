@@ -241,7 +241,13 @@ def main():
                           extra_server=size + ["--plain-fracts"],
                           platform=args.platform)
             chain["stage1_resize"] = r
-            resized = r["out"]
+            # snapshot the intermediate: roundtrip() deletes its own output
+            # path up front, and stage 3's output name (out.png) collides
+            # with stage 1's -- without the copy, stage 3 deletes its input
+            import shutil
+
+            resized = os.path.join(args.workdir, "chain_stage1.png")
+            shutil.copy(r["out"], resized)
             log = log_path("chain_jpeg")
             r = roundtrip("jpeg", resized, log, args.workdir, n=4096,
                           platform=args.platform)
