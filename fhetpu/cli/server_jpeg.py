@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--quantize", action="store_true",
                    help="apply homomorphic quantization (the reference defines "
                         "but never calls it; default off for parity)")
+    p.add_argument("--sharded", action="store_true",
+                   help="data-parallel: shard the 8x8-block batch axis over "
+                        "all available devices (every op is elementwise over "
+                        "blocks, so XLA partitions with zero collectives)")
     args = p.parse_args(argv)
     setup_platform(args)
 
@@ -61,7 +65,19 @@ def main(argv=None):
         ev, apply_quantize=args.quantize, quant=quant,
         input_ntt=in_ntt, output_ntt=in_ntt,
     )
-    server = jax.jit(fn, donate_argnums=(0,))
+    sharding = None
+    if args.sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        ndev = len(jax.devices())
+        sharding = NamedSharding(make_mesh({"dp": ndev}), P("dp"))
+        server = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+        if args.verbose:
+            print(f"dp-sharded over {ndev} devices", file=sys.stderr)
+    else:
+        server = jax.jit(fn, donate_argnums=(0,))
     writer = serial.CtWriter(args.coutfile, 2, par.L, par.n,
                              meta={"w": w, "h": h, "layout": "ycc-blocks",
                                    "ntt": in_ntt})
@@ -74,11 +90,23 @@ def main(argv=None):
             k = min(chunk, nb_total - done)
             cts = reader.read(k * 192)
             assert cts is not None, "ciphertext stream truncated"
-            batch = jnp.asarray(cts.reshape(k, 3, 64, 2, par.L, par.n))
+            batch = cts.reshape(k, 3, 64, 2, par.L, par.n)
+            kp = k
+            if sharding is not None:
+                # pad the block axis to a multiple of the mesh (padded
+                # blocks recompute the last block; sliced off below)
+                ndev = sharding.mesh.shape["dp"]
+                kp = -(-k // ndev) * ndev
+                if kp > k:
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], kp - k, axis=0)])
+                batch = jax.device_put(jnp.asarray(batch), sharding)
+            else:
+                batch = jnp.asarray(batch)
             with t.span(k * 3):
                 out = server(batch)
                 out.block_until_ready()
-            writer.append(np.asarray(out).reshape(-1, 2, par.L, par.n))
+            writer.append(np.asarray(out)[:k].reshape(-1, 2, par.L, par.n))
             done += k
             if args.verbose:
                 print(f"processed {done}/{nb_total} blocks", file=sys.stderr)

@@ -29,6 +29,16 @@ def main(argv=None):
                    help="output columns per device dispatch (0 = all; "
                         "shrink with --tile-rows to bound HBM for the "
                         "unrelinearized ct*ct bicubic path at large n)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard source rows over all available devices with "
+                        "halo exchange (parallel.halo: ppermute neighbor "
+                        "rows, all-gather fallback for extreme downscales); "
+                        "supports plain and encrypted fracts +/- relin")
+    p.add_argument("--host-window", action="store_true",
+                   help="keep the streaming source window host-resident and "
+                        "re-upload it per tile (lower peak HBM than the "
+                        "default device-resident window; for memory-bound "
+                        "configs like unrelinearized ct*ct at large n)")
     args = p.parse_args(argv)
     setup_platform(args)
 
@@ -102,6 +112,31 @@ def main(argv=None):
     t = OpTimer(label)
     tile = args.tile_rows
 
+    if args.sharded:
+        # spatial sharding with halo exchange over the whole device set
+        # (the TPU-native replacement for the reference's streaming window
+        # as a DISTRIBUTED engine, fhe_resize.h:308-392 / BASELINE config 3)
+        from ..parallel import halo
+        from ..parallel.mesh import make_mesh
+
+        cts = reader.read(h * w * 3)
+        assert cts is not None, "source stream truncated"
+        src = jnp.asarray(cts.reshape(h, w, 3, 2, par.L, par.n))
+        ndev = len(jax.devices())
+        mesh = make_mesh({"sp": ndev})
+        if args.verbose:
+            print(f"sharded over {ndev} devices", file=sys.stderr)
+        with maybe_profile(args):
+            with t.span(h2 * w2 * interp_per_px):
+                out = halo.resize_sharded(ev, src, h2, w2, mode, mesh,
+                                          encryptor=encryptor, relin=relin)
+                out.block_until_ready()
+        writer.append(np.asarray(out).reshape(-1, size_out, par.L, par.n))
+        reader.close()
+        writer.close()
+        t.emit()
+        return
+
     # streaming source-row window (the reference's 2/4-row slide,
     # fhe_resize.h:324-379, generalized to per-tile ranges): source rows are
     # consumed monotonically, so only [win_lo, win_hi) rows live in memory.
@@ -118,7 +153,7 @@ def main(argv=None):
     # tile -- ~295 MB per 4-row tile at n=8192, which dominated wall clock
     # on a remote-tunnel link; with the delta upload each source row
     # crosses the host->device boundary exactly once.
-    window = None  # device array [rows, w, 3, 2, L, n]
+    window = None  # device array [rows, w, 3, 2, L, n] (host w/ --host-window)
     win_lo = 0
     rows_read = 0  # total source rows consumed from the stream
 
@@ -127,8 +162,14 @@ def main(argv=None):
         if rows_read < hi:
             more = reader.read((hi - rows_read) * w * 3)
             assert more is not None, "source stream truncated"
-            more = jnp.asarray(more.reshape(-1, w, 3, 2, par.L, par.n))
-            window = more if window is None else jnp.concatenate(
+            more = more.reshape(-1, w, 3, 2, par.L, par.n)
+            if not args.host_window:
+                # device-resident: each source row crosses the host->device
+                # boundary once; the extend transiently holds old+new window
+                # in HBM (use --host-window when that headroom matters)
+                more = jnp.asarray(more)
+            cat = jnp if not args.host_window else np
+            window = more if window is None else cat.concatenate(
                 [window, more], axis=0
             )
             rows_read = hi

@@ -89,8 +89,11 @@ def _prep_images(workdir):
 def run_cli(args_list, log, env=None, timeout=None, retries=1):
     """One CLI stage with a hang timeout + retry: the axon remote-TPU
     tunnel occasionally wedges an RPC indefinitely (process sleeps on a
-    futex with no traffic); a timed-out stage is killed and retried once
-    before the config is recorded as failed."""
+    futex with no traffic) or aborts a transfer mid-run ('ABORTED: TPU
+    backend error' -- the round-3 bicubic ct*ct config died to exactly one
+    such fetch, bench_results r3).  A timed-out stage is killed and a
+    failed stage (timeout OR nonzero rc) is retried once -- with the
+    persistent compile cache a retry skips straight to execution."""
     cmd = [sys.executable, "-m"] + args_list
     if timeout is None:
         timeout = int(os.environ.get("FHETPU_BENCH_STAGE_TIMEOUT", 2700))
@@ -111,8 +114,9 @@ def run_cli(args_list, log, env=None, timeout=None, retries=1):
                 continue
         dt = time.perf_counter() - t0
         if r.returncode:
-            raise RuntimeError(
+            last = RuntimeError(
                 f"{' '.join(cmd)} -> rc={r.returncode}; see {log}")
+            continue
         return dt
     raise last
 

@@ -57,6 +57,52 @@ def test_resize_cli_roundtrip(tmp_path):
     assert images.rms_error(ours, want) < 1.0
 
 
+def test_resize_cli_sharded_matches_unsharded(tmp_path):
+    """server_resize --sharded on the 8-virtual-device mesh produces the
+    same decrypted image as the single-device streaming server (VERDICT r3
+    missing item 3: the sharded halo engine must be reachable from the real
+    driver, with non-divisible row counts)."""
+    from fhetpu.cli import client_resize, server_resize
+    from fhetpu.pipelines.resize import BILINEAR, resize_float
+
+    d = str(tmp_path)
+    img_path, img = _write_img(tmp_path, 6, 6, seed=9)
+    size = ["--width", "3", "--height", "3"]
+    # n=4096: the encrypted-fract ct*ct variant needs the bigger noise
+    # budget (faithful bilinear at n=2048/t=2^14 is noise-dead -- the same
+    # regime the reference's sweep avoids)
+    client_resize.main(
+        ["--send", "-f", img_path, "-c", os.path.join(d, "c2s.bin"),
+         "--keydir", os.path.join(d, "keys"), "--cmod", "4096"] + size
+    )
+    outs = {}
+    for variant, extra in (("plain", ["--plain-fracts"]),
+                           ("single", ["--plain-fracts"]),
+                           ("enc", [])):
+        flags = list(extra)
+        if variant != "single":
+            flags.append("--sharded")
+        server_resize.main(
+            ["-i", os.path.join(d, "c2s.bin"),
+             "-c", os.path.join(d, f"s2c_{variant}.bin"),
+             "--keydir", os.path.join(d, "keys"), "--platform", "cpu"]
+            + size + flags
+        )
+        out_png = os.path.join(d, f"out_{variant}.png")
+        client_resize.main(
+            ["--recieve", "-f", img_path, "-i",
+             os.path.join(d, f"s2c_{variant}.bin"), "-o", out_png,
+             "--keydir", os.path.join(d, "keys")] + size
+        )
+        outs[variant] = images.load_rgb(out_png).astype(np.float64)
+    # sharded == unsharded exactly; both match the plaintext sampler
+    np.testing.assert_array_equal(outs["plain"], outs["single"])
+    want = np.clip(resize_float(img.astype(np.float64), 3, 3, BILINEAR), 0, 255)
+    assert images.rms_error(outs["plain"], want) < 1.0
+    # encrypted-fract ct*ct sharded decodes to the same values
+    np.testing.assert_array_equal(outs["enc"], outs["plain"])
+
+
 def test_resize_cli_streaming_gap_regression(tmp_path):
     """Regression for the streaming-window row-skip bug (VERDICT.md round-2
     item 1): when consecutive output tiles leave a GAP between their source
