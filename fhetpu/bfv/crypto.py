@@ -392,22 +392,37 @@ class Decryptor:
         Exact via CRT big-int reconstruction (host-side, for validation and
         the runtime noise check; see SURVEY.md section 5 failure detection).
         """
+        return int(self.invariant_noise_budget_batch(ct[None])[0])
+
+    def invariant_noise_budget_batch(self, cts: np.ndarray,
+                                     ntt_form: bool = False) -> np.ndarray:
+        """Budgets for a batch [B, size, L, n] -> int64 [B].
+
+        Vectorized exact CRT via numpy object (big-int) arrays: the scalar
+        per-coefficient Python loop takes ~1 s/ct at n=8192, which made
+        sweeping measured budgets across pipelines x ring sizes (the noise-
+        model validation artifact, docs/noise_validation.md) impractical."""
         par = self.params
-        x = self._dot_secret(ct[None])[0]  # [L, n]
-        p = par.consts.qp.astype(np.uint64).reshape(-1, 1)
-        tx = x.astype(np.uint64) * par.consts.t_mod_q.astype(np.uint64) % p
+        x = self._dot_secret(cts, ntt_form)  # [B, L, n]
+        p = par.consts.qp.astype(np.uint64).reshape(1, -1, 1)
+        tx = x.astype(np.uint64) * par.consts.t_mod_q.astype(np.uint64)[None] % p
         q = par.q
-        max_norm = 0
-        for c in range(par.n):
-            val = _crt_reconstruct(tx[:, c], par)
-            if val > q // 2:
-                val = q - val
-            if val > max_norm:
-                max_norm = val
-        if max_norm == 0:
-            return q.bit_length() - 1
-        budget = q.bit_length() - 1 - (2 * max_norm).bit_length() + 1
-        return max(budget, 0)
+        # CRT with exact integers: acc = sum_i ((tx_i * qhat_inv_i) % p_i) * qhat_i
+        acc = np.zeros(tx.shape[::2], dtype=object)  # [B, n]
+        for i, pi in enumerate(par.q_primes):
+            zi = tx[:, i, :] * np.uint64(int(par.consts.qhat_inv_mod_q[i, 0]))
+            zi = (zi % np.uint64(int(pi))).astype(object)
+            acc += zi * par.consts.qhat[i]
+        acc %= q
+        centered = np.where(acc > q // 2, q - acc, acc)  # object ints
+        out = np.empty(centered.shape[0], dtype=np.int64)
+        for b in range(centered.shape[0]):
+            max_norm = int(max(centered[b]))
+            if max_norm == 0:
+                out[b] = q.bit_length() - 1
+            else:
+                out[b] = max(q.bit_length() - (2 * max_norm).bit_length(), 0)
+        return out
 
 
 def print_ciphertext_debug(ct: np.ndarray, decryptor: "Decryptor", encoder) -> str:

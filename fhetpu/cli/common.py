@@ -89,11 +89,17 @@ def setup_platform(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if not os.environ.get("FHETPU_NO_COMPILE_CACHE"):
-        cache = os.environ.get(
-            "FHETPU_COMPILE_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
-        )
+        # default location: <checkout>/.jax_cache when running from a git
+        # checkout (shared with tests/bench); for an installed package that
+        # path would land inside site-packages (possibly read-only/shared),
+        # so fall back to a per-user cache.  FHETPU_COMPILE_CACHE overrides.
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        repo_cache = os.path.join(repo, ".jax_cache")
+        if not (os.path.isdir(repo_cache)
+                or os.path.isdir(os.path.join(repo, ".git"))):
+            repo_cache = os.path.expanduser("~/.cache/fhetpu/jax_cache")
+        cache = os.environ.get("FHETPU_COMPILE_CACHE", repo_cache)
         try:
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

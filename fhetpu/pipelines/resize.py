@@ -115,7 +115,26 @@ def fract_polys(encoder, fracs, mode):
     return ts, omts, t2s, t3s
 
 
-_POWERS_FN_CACHE = {}
+def _instance_cache(ev, name: str, key, relin, build):
+    """Per-Evaluator compiled-closure cache with identity-checked relin.
+
+    Lives ON the evaluator instance so cache lifetime is tied to the object
+    the closures capture (a process-global dict keyed by id() would pin the
+    evaluator forever AND could return a stale closure if an id were
+    recycled after garbage collection -- ADVICE r3 item 3).  The cached
+    entry stores the relin keys object and is invalidated when a different
+    one (including None) is passed.
+    """
+    cache = getattr(ev, name, None)
+    if cache is None:
+        cache = {}
+        setattr(ev, name, cache)
+    entry = cache.get(key)
+    if entry is not None and entry[0] is relin:
+        return entry[1]
+    fn = build()
+    cache[key] = (relin, fn)
+    return fn
 
 
 class EncryptedFracts:
@@ -142,8 +161,8 @@ class EncryptedFracts:
         newshape = tuple(bshape) + cts.shape[-3:]
         t = Ct(jnp.asarray(cts).reshape(newshape), False)
         self.t = t
-        key = (id(ev), id(relin), mode)
-        if key not in _POWERS_FN_CACHE:
+
+        def build():
             if mode == BICUBIC:
 
                 def powers(tc):
@@ -157,11 +176,13 @@ class EncryptedFracts:
                 def powers(tc):
                     return ev.add_plain(ev.negate(tc), one)
 
-            _POWERS_FN_CACHE[key] = jax.jit(powers)
+            return jax.jit(powers)
+
+        fn = _instance_cache(ev, "_powers_fn_cache", mode, relin, build)
         if mode == BICUBIC:
-            self.t2, self.t3 = _POWERS_FN_CACHE[key](t)
+            self.t2, self.t3 = fn(t)
         else:
-            self.one_minus_t = _POWERS_FN_CACHE[key](t)
+            self.one_minus_t = fn(t)
 
 
 def _maybe_relin(ev, ct, relin):
@@ -269,9 +290,6 @@ def _register_bundle_pytrees():
 _register_bundle_pytrees()
 
 
-_TILE_FN_CACHE: dict = {}
-
-
 def make_tile_fn(ev, mode: int, plain: bool, relin=None):
     """Jitted resize_tile: ONE device dispatch per tile (the eager op-by-op
     version pays a tunnel round trip per modular op on remote TPUs).  Index
@@ -279,17 +297,16 @@ def make_tile_fn(ev, mode: int, plain: bool, relin=None):
     one executable regardless of its index values."""
     import jax
 
-    key = (id(ev), mode, plain, id(relin))
-    if key not in _TILE_FN_CACHE:
-
+    def build():
         def fn(win, rp_idx, cp_idx, yops, xops):
             rp = AxisPlan(idx=rp_idx, fract=None)
             cp = AxisPlan(idx=cp_idx, fract=None)
             return resize_tile(ev, win, rp, cp, yops, xops, mode, plain,
                                relin)
 
-        _TILE_FN_CACHE[key] = jax.jit(fn)
-    return _TILE_FN_CACHE[key]
+        return jax.jit(fn)
+
+    return _instance_cache(ev, "_tile_fn_cache", (mode, plain), relin, build)
 
 
 def make_fract_bundles(ev, row_plan, col_plan, mode, encryptor=None,

@@ -211,6 +211,105 @@ def main():
         "dt_s": round(dt, 3),
     }
 
+    # ---- resize interpolation throughput (VERDICT r3 item 5) -------------
+    # In-graph interps/s for the reference's Linear/Cubic ms-per-interp
+    # columns (results.txt:5,21,24,168; 3 Linear or 20 Cubic interps per
+    # output pixel, fhe_resize.h:245-250, 296-303).  The tile recomputes in
+    # a fori_loop; a modular add of an output slice back into the window
+    # defeats DCE without changing op count (values stay well-formed mod p).
+    from fhetpu.bfv.crypto import Encryptor
+    from fhetpu.core import modops
+    from fhetpu.pipelines import resize as rz
+
+    enc = Encryptor(par, kg.public_key(), seed=8)
+    rk16 = DeviceRelinKeys(kg.relin_keys(max_power=2, digit_bits=16))
+
+    def resize_entry(label, mode, plain, relin, H2, W2, Hs=12, Ws=12):
+        rp = rz.axis_plan(Hs, H2, mode)
+        cp = rz.axis_plan(Ws, W2, mode)
+        yops, xops = rz.make_fract_bundles(
+            ev, rp, cp, mode, encryptor=None if plain else enc, relin=relin)
+        win = jnp.asarray(rand_rns((Hs, Ws, 3, 2)))
+        rp_i, cp_i = jnp.asarray(rp.idx), jnp.asarray(cp.idx)
+        interps = H2 * W2 * (20 if mode == rz.BICUBIC else 3)
+
+        def loop(w, k):
+            def body(i, w):
+                out = rz.resize_tile(
+                    ev, w, rz.AxisPlan(rp_i, None), rz.AxisPlan(cp_i, None),
+                    yops, xops, mode, plain, relin)
+                fold = out[0, 0, :, :2][None, None]  # [1,1,3,2,L,n]
+                return modops.addmod(w, fold, jnp.asarray(par.consts.qp))
+
+            return lax.fori_loop(0, k, body, w, unroll=1)
+
+        try:
+            sec, k_, dt = measure(jax.jit(loop), win, label)
+        except Exception as e:
+            results["ops"][label] = f"{type(e).__name__}: {e}"[:200]
+            return
+        results["ops"][label] = {
+            "ms_per_tile": round(sec * 1e3, 3),
+            "out_px": H2 * W2,
+            "interps_per_s": round(interps / sec, 1),
+            "ms_per_interp": round(sec * 1e3 / interps, 4),
+            "k": k_,
+            "dt_s": round(dt, 3),
+        }
+
+    resize_entry("linear_plainfract", rz.BILINEAR, True, None, 17, 17)
+    resize_entry("cubic_plainfract", rz.BICUBIC, True, None, 17, 17)
+    resize_entry("cubic_ctct_relin16", rz.BICUBIC, False, rk16, 17, 17)
+    # faithful unrelinearized ct*ct: size-8 two-base tensor product; smaller
+    # tile bounds the live intermediates like server_resize --tile-*
+    resize_entry("cubic_ctct_faithful", rz.BICUBIC, False, None, 4, 4)
+
+    # ---- harmonic decode expansion throughput (VERDICT r3 item 5) --------
+    # Depth-0 positions/s: out_i = h0 + sum_j cos(a_j i) hc_j + sin(a_j i)
+    # hs_j -- multiply_plain + add only (rle_decode.py:294-308).  The CLI
+    # Step rows are compile+transfer dominated (the order-16 "slower than
+    # order-64" oddity was the first-call compile amortized over 4x fewer
+    # positions); this is the steady-state on-chip number.
+    from fhetpu.pipelines import rle_decode as rd
+
+    for order, degree in ((16, 48), (64, 192)):
+        positions = np.arange(order, dtype=np.float64)
+        Hh = 2 * degree + 1
+        harm = Ct(jnp.asarray(rand_rns((Hh, 2))), False)
+        tabs = rd.harmonic_weight_tables(ev, positions, order, degree)
+        hn = ev.transform_to_ntt(harm).data
+        p, mu, sh = ev.p, ev.mu, ev.shift
+
+        def loop(hn_, k, tabs_=tabs):
+            def body(i, h):
+                def inner(kk, acc):
+                    term = modops.mulmod(tabs_[kk][:, None], h[kk][None],
+                                         p, mu, sh)
+                    return modops.addmod(acc, term, p)
+
+                acc0 = jnp.zeros((tabs_.shape[1],) + tuple(h.shape[1:]),
+                                 jnp.uint32)
+                out = lax.fori_loop(0, tabs_.shape[0], inner, acc0)
+                fold = out[0][None]  # [1, size, L, n]
+                return modops.addmod(h, fold, jnp.asarray(par.consts.qp))
+
+            return lax.fori_loop(0, k, body, hn_, unroll=1)
+
+        label = f"harmonics_order{order}"
+        try:
+            sec, k_, dt = measure(jax.jit(loop), hn, label)
+        except Exception as e:
+            results["ops"][label] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        results["ops"][label] = {
+            "degree": degree,
+            "positions": order,
+            "ms_per_channel_expand": round(sec * 1e3, 3),
+            "positions_per_s": round(order / sec, 1),
+            "k": k_,
+            "dt_s": round(dt, 3),
+        }
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench_core.json"
     )
