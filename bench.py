@@ -65,10 +65,11 @@ def bench_one_n(n, repeats, details):
                                   dtype=np.uint64))
     cts = np.stack(limbs, axis=-2).astype(np.uint32)
 
-    def build(use_fused, with_ntt, fused_chunk=None):
+    def build(use_fused, with_ntt, fused_chunk=None, fused_lazy=False):
         body = server_compute_fn(
             ev, input_ntt=not with_ntt, output_ntt=not with_ntt,
             use_fused=use_fused, fused_chunk=fused_chunk,
+            fused_lazy=fused_lazy,
         )
 
         def loop(x, k):
@@ -87,20 +88,27 @@ def bench_one_n(n, repeats, details):
     # independently compiled grids rather than betting on one.  (chunk=2048
     # exceeds the 16M scoped-VMEM limit -- the round-3 OOM tail -- so the
     # sweep stops at 1024; every chunk divides L*n at every reference n.)
-    variants = [("xla_nttfree", False, False, None)]
+    variants = [("xla_nttfree", False, False, None, False)]
     if on_tpu:
+        from fhetpu.core.pallas_server import lazy_bound_multiple
+
         for chunk in (256, 512, 1024):
             variants.append(
-                (f"fused_pallas_nttfree_c{chunk}", True, False, chunk))
-    variants.append(("xla_with_ntt", False, True, None))
+                (f"fused_pallas_nttfree_c{chunk}", True, False, chunk, False))
+        if lazy_bound_multiple(ev):
+            # deferred-reduction kernel (bit-identical output; n<=8192)
+            for chunk in (512, 1024):
+                variants.append((f"fused_lazy_nttfree_c{chunk}", True, False,
+                                 chunk, True))
+    variants.append(("xla_with_ntt", False, True, None, False))
 
     dn = details["per_n"][str(n)] = {
         "nb": nb, "L": par.L, "variants": {},
         "baseline_dct_ms_per_channel_block": BASELINE_DCT_MS.get(n),
     }
     results = {}
-    for label, use_fused, with_ntt, fused_chunk in variants:
-        jloop = build(use_fused, with_ntt, fused_chunk)
+    for label, use_fused, with_ntt, fused_chunk, fused_lazy in variants:
+        jloop = build(use_fused, with_ntt, fused_chunk, fused_lazy)
         # min-of-k: the timing is an in-graph fori_loop, so every sample is
         # a true on-chip rate and the only error mode is one-sided slowdown
         # from interference (chip contention / tunnel scheduling) -- the

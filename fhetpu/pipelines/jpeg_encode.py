@@ -145,6 +145,7 @@ def server_compute_fn(
     use_fast: Optional[bool] = None,
     use_fused: bool = False,
     fused_chunk: Optional[int] = None,
+    fused_lazy: bool = False,
 ):
     """Build the jittable server op: [nb, 3, 64, 2, L, n] -> same shape.
 
@@ -186,7 +187,7 @@ def server_compute_fn(
             from ..core.pallas_server import server_ycc_dct_fused
 
             out = server_ycc_dct_fused(ev, d, interpret=pallas_interpret,
-                                       chunk=fused_chunk)
+                                       chunk=fused_chunk, lazy=fused_lazy)
             if output_ntt:
                 return out
             return ev.transform_from_ntt(Ct(out, True)).data

@@ -151,6 +151,15 @@ def test_fused_server_kernel_matches_jnp_server(setup):
         )(cts)
     )
     np.testing.assert_array_equal(fused, ref)
+    # deferred-reduction kernel: intermediates ride in [0, k*p), reduced at
+    # pass boundaries -- must stay bit-identical after the final reduce
+    lazy = np.asarray(
+        pipe.server_compute_fn(
+            ev, input_ntt=True, output_ntt=True, use_fused=True,
+            pallas_interpret=True, fused_lazy=True,
+        )(cts)
+    )
+    np.testing.assert_array_equal(lazy, ref)
 
 
 def test_cli_roundtrip(tmp_path, setup):
