@@ -201,12 +201,34 @@ def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
 
     interp_per_px = 20 if args.bicubic else 3
     tile_fn = rz.make_tile_fn(ev, mode, args.plain_fracts, relin)
+    # UNIFORM tile shapes: pad the source window to the max height any tile
+    # needs, and pad short output-row/column tails by repeating the last
+    # plan entry (sliced off after).  Every dispatch then shares ONE
+    # compiled executable -- without this the final output row's smaller
+    # window (e.g. height 2 at 48->17) triggers a from-scratch multi-minute
+    # XLA compile of the whole ct*ct graph at n=8192, which is what pushed
+    # the round-3/4 bicubic config past the bench stage timeout.
+    win_h = max(
+        int(row_plan.idx[y0:min(y0 + tile, h2)].max())
+        - int(row_plan.idx[y0:min(y0 + tile, h2)].min()) + 1
+        for y0 in range(0, h2, tile)
+    )
+
+    def pad_tail(arr, k):
+        return np.concatenate([arr, np.repeat(arr[-1:], k, axis=0)]) if k else arr
+
     for y0 in range(0, h2, tile):
         y1 = min(y0 + tile, h2)
         rp_idx = row_plan.idx[y0:y1]
         lo, hi = int(rp_idx.min()), int(rp_idx.max()) + 1
         win = advance_to(lo, hi)  # device-resident window
-        rp = rz.AxisPlan(idx=rp_idx - lo, fract=row_plan.fract[y0:y1])
+        if win.shape[0] < win_h:  # pad height (padded rows never indexed)
+            cat = jnp if not args.host_window else np
+            win = cat.concatenate(
+                [win] + [win[-1:]] * (win_h - win.shape[0]), axis=0)
+        pad_r = tile - (y1 - y0)
+        rp = rz.AxisPlan(idx=pad_tail(rp_idx - lo, pad_r),
+                         fract=pad_tail(row_plan.fract[y0:y1], pad_r))
         # column chunks bound the live intermediate tensors of one dispatch
         # (the unrelinearized bicubic ct*ct tensor product holds size-8
         # ciphertexts in BOTH RNS bases -- full 17-col tiles exhaust HBM at
@@ -214,15 +236,16 @@ def _run_tiles(args, ev, encryptor, relin, reader, writer, t, row_plan,
         row_chunks = []
         for x0 in range(0, w2, ctile):
             x1 = min(x0 + ctile, w2)
-            cp = rz.AxisPlan(idx=col_plan.idx[x0:x1],
-                             fract=col_plan.fract[x0:x1])
+            pad_c = ctile - (x1 - x0)
+            cp = rz.AxisPlan(idx=pad_tail(col_plan.idx[x0:x1], pad_c),
+                             fract=pad_tail(col_plan.fract[x0:x1], pad_c))
             yops, xops = rz.make_fract_bundles(ev, rp, cp, mode,
                                                encryptor=encryptor,
                                                relin=relin)
             with t.span((y1 - y0) * (x1 - x0) * interp_per_px):
                 out = tile_fn(win, rp.idx, cp.idx, yops, xops)
                 out.block_until_ready()
-            row_chunks.append(np.asarray(out))
+            row_chunks.append(np.asarray(out)[: y1 - y0, : x1 - x0])
             del out
         full = row_chunks[0] if len(row_chunks) == 1 else np.concatenate(
             row_chunks, axis=1
