@@ -1,16 +1,37 @@
 """Sweep driver (port of benchmark/benchmark.py): runs client -> server ->
-client for the resize and jpeg pipelines over a (poly_n, plain_mod, dbc)
-grid, one log file per configuration, scraping the per-op CSV rows the
+client over the reference grid POLY_N x PLAIN_MODS (benchmark/benchmark.py:
+5-9), one log file per configuration, scraping the per-op CSV rows the
 drivers print (Encryption,/Decryption,/DCT,/Linear,/Cubic,/RMSError,).
 
-Usage: python -m fhetpu.bench.benchmark [--image PATH] [--out LOGDIR]
-       [--quick] [--pipelines resize,jpeg]
+Grid shape vs the reference (VERDICT r3 item 4):
+
+* all four ring degrees x all nine plain moduli, dbc fixed at one value
+  (the reference parses dbc but never builds evaluation keys, SURVEY 2.4);
+* servers run with --no-noise-check so the pass/fail RMS frontier emerges
+  from the actual computation, exactly like the reference (whose only
+  failure signal is the post-hoc RMS, results.txt:38 vs :382);
+* the image scales with the ring degree: the reference's 48x48 boazbarak
+  at n=2048/4096 (direct RMS-band comparison against its committed rows),
+  16x16 at n=8192 and 8x8 at n=16384 -- the one-ciphertext-per-coefficient
+  protocol moves 2 x (W*H*3*64ish) * 2*L*n*4 bytes per config through the
+  remote-TPU tunnel (~4-5 MB/s measured), and 48x48 jpg at n=16384 is
+  54 GB/config.  The frontier itself is ring-degree-invariant in the
+  reference (identical RMS at every n, results.txt:45,39,99,51), so the
+  small-image rows demonstrate the same invariance at the big rings.
+* bicubic runs the faithful encrypted-fract ct*ct path; its n=8192 cell at
+  the default t=2^14 is the dedicated bench_results/bicubic_boaz_17x17_ctct
+  config (a ~45-min single run); grid bicubic covers n=2048/4096.
+
+Usage: python -m fhetpu.bench.benchmark [--out LOGDIR] [--quick]
+       [--pipelines jpg,bilinear,bicubic] [--ns 2048,4096,8192,16384]
+Writes per-config logs plus an aggregated grid_results.{json,txt}
+(results_parser-compatible) under --out.
 """
 
 from __future__ import annotations
 
 import argparse
-import itertools
+import json
 import os
 import subprocess
 import sys
@@ -18,20 +39,46 @@ import sys
 # the reference's grid (benchmark/benchmark.py:5-9)
 POLY_N = [2048, 4096, 8192, 16384]
 PLAIN_MODS = [11, 31, 101, 307, 1009, 3001, 10007, 30011, 100003]
-DBCS = [16, 32, 60]
+DBC = 30  # parsed-but-unused in the reference (fhe_image.h:28)
 RESIZE_W = RESIZE_H = 17
+# ring degree -> (source image size, resize target); see module docstring
+IMG_PER_N = {2048: (48, 17), 4096: (48, 17), 8192: (16, 8), 16384: (8, 4)}
+# bicubic grid cells: the faithful ct*ct path at n=8192 takes ~45 min per
+# run (deep BEHZ graphs); n-grid restricted, see docstring
+BICUBIC_NS = [2048, 4096]
 
 
-def run(cmd, log, env=None):
+def run(cmd, log, env=None, timeout=None):
+    if timeout is None:
+        timeout = int(os.environ.get("FHETPU_BENCH_STAGE_TIMEOUT", 2700))
     with open(log, "a") as f:
         f.write("$ " + " ".join(cmd) + "\n")
         f.flush()
-        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, env=env)
+        try:
+            r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                               env=env, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            f.write(f"\n[stage timed out after {timeout}s -- killed]\n")
+            return 124
     return r.returncode
 
 
-def call_pipeline(kind, image, n, pmod, dbc, logdir, workdir, platform):
-    log = os.path.join(logdir, f"{kind}_{n}_{pmod}_{dbc}.txt")
+def prep_image(workdir: str, size: int) -> str:
+    from PIL import Image
+
+    src = "/root/reference/image/boazbarak.jpg"
+    if size == 48:
+        return src
+    p = os.path.join(workdir, f"boaz{size}.png")
+    if not os.path.exists(p):
+        Image.open(src).convert("RGB").resize((size, size)).save(p)
+    return p
+
+
+def call_pipeline(kind, n, pmod, logdir, workdir, platform):
+    src_size, dst_size = IMG_PER_N[n]
+    image = prep_image(workdir, src_size)
+    log = os.path.join(logdir, f"{kind}_boaz{src_size}_{n}_{pmod}_{DBC}.txt")
     open(log, "w").close()
     keydir = os.path.join(workdir, "keys")
     c2s = os.path.join(workdir, "c2s.bin")
@@ -43,42 +90,100 @@ def call_pipeline(kind, image, n, pmod, dbc, logdir, workdir, platform):
         env["FHETPU_PLATFORM"] = platform
     py = [sys.executable, "-m"]
     if kind == "jpg":
-        mods = ("fhetpu.cli.client_jpeg", "fhetpu.cli.server_jpeg", "fhetpu.cli.client_jpeg")
-        extra = []
+        mods = ("fhetpu.cli.client_jpeg", "fhetpu.cli.server_jpeg",
+                "fhetpu.cli.client_jpeg")
+        client_extra, server_extra = [], []
     else:
-        mods = ("fhetpu.cli.client_resize", "fhetpu.cli.server_resize", "fhetpu.cli.client_resize")
-        extra = ["--width", str(RESIZE_W), "--height", str(RESIZE_H),
-                 "--dbc", str(dbc)] + (["--bicubic"] if kind == "bicubic" else [])
-    rc = run(py + [mods[0], "--send", "-f", image, "-c", c2s] + common + extra, log, env)
-    rc |= run(py + [mods[1], "-i", c2s, "-c", s2c] + common + extra, log, env)
-    rc |= run(py + [mods[2], "--recieve", "-f", image, "-i", s2c, "-o", out] + common + extra, log, env)
-    return rc
+        mods = ("fhetpu.cli.client_resize", "fhetpu.cli.server_resize",
+                "fhetpu.cli.client_resize")
+        size = ["--width", str(dst_size), "--height", str(dst_size)]
+        client_extra = size + ["--dbc", str(DBC)] + (
+            ["--bicubic"] if kind == "bicubic" else [])
+        # bound the unrelinearized size-8 tensor product's live memory
+        server_extra = client_extra + (
+            ["--tile-rows", "2", "--tile-cols", "8"]
+            if kind == "bicubic" else [])
+    rc = run(py + [mods[0], "--send", "-f", image, "-c", c2s] + common
+             + client_extra, log, env)
+    if rc == 0:
+        # --no-noise-check: let the frontier emerge from the computation
+        rc = run(py + [mods[1], "-i", c2s, "-c", s2c, "--keydir", keydir,
+                       "--no-noise-check"] + server_extra, log, env)
+    if rc == 0:
+        rc = run(py + [mods[2], "--recieve", "-f", image, "-i", s2c, "-o",
+                       out] + common + client_extra, log, env)
+    return rc, log
+
+
+def aggregate(logdir: str, outdir: str):
+    """Scrape every per-config log into grid_results.{json,txt} -- the
+    analog of the reference's committed benchmark/results.txt."""
+    from .analyze import parse_log
+
+    rows = []
+    for fname in sorted(os.listdir(logdir)):
+        if not fname.endswith(".txt"):
+            continue
+        stem = fname[:-4].split("_")
+        if len(stem) < 5:
+            continue
+        kind, img, n, pmod, dbc = stem[0], stem[1], stem[2], stem[3], stem[4]
+        ops = {}
+        for label, vals in parse_log(os.path.join(logdir, fname)).items():
+            mean = sum(vals) / len(vals)
+            var = sum((v - mean) ** 2 for v in vals) / len(vals)
+            med = sorted(vals)[len(vals) // 2]
+            ops[label] = {"mean_ms": round(mean, 4),
+                          "median_ms": round(med, 4),
+                          "std": round(var ** 0.5, 4), "count": len(vals)}
+        rows.append({"pipeline": kind, "image": img, "n": int(n),
+                     "pmod": int(pmod), "dbc": int(dbc), "ops": ops,
+                     "rms": ops.get("RMSError", {}).get("mean_ms")})
+    with open(os.path.join(outdir, "grid_results.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    lines = ["# fhetpu reference-grid sweep (see fhetpu/bench/benchmark.py "
+             "docstring for grid shape)", ""]
+    for r in rows:
+        lines.append(f"{r['pipeline']} {r['image']} n={r['n']} "
+                     f"pmod={r['pmod']} dbc={r['dbc']}")
+        for label, s in r["ops"].items():
+            lines.append(f"  {label},{s['mean_ms']},{s['std']},"
+                         f"median={s['median_ms']},n={s['count']}")
+        lines.append("")
+    with open(os.path.join(outdir, "grid_results.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return rows
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--image", default="/root/reference/image/boazbarak.jpg")
     ap.add_argument("--out", default="./benchlogs")
     ap.add_argument("--workdir", default="./benchwork")
     ap.add_argument("--quick", action="store_true",
                     help="single config per pipeline (smoke)")
-    ap.add_argument("--pipelines", default="bilinear,bicubic,jpg")
+    ap.add_argument("--pipelines", default="jpg,bilinear,bicubic")
+    ap.add_argument("--ns", default=",".join(str(n) for n in POLY_N))
+    ap.add_argument("--pmods", default=",".join(str(t) for t in PLAIN_MODS))
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.workdir, exist_ok=True)
-    grid = (
-        [(4096, 1 << 14, 30)]
-        if args.quick
-        else list(itertools.product(POLY_N, PLAIN_MODS, DBCS))
-    )
+    ns = [int(s) for s in args.ns.split(",")]
+    pmods = [int(s) for s in args.pmods.split(",")]
+    if args.quick:
+        ns, pmods = [4096], [1 << 14]
     for kind in args.pipelines.split(","):
-        for n, pmod, dbc in grid:
-            print(f"[{kind}] n={n} pmod={pmod} dbc={dbc}", flush=True)
-            rc = call_pipeline(kind, args.image, n, pmod, dbc, args.out,
-                               args.workdir, args.platform)
-            if rc:
-                print(f"  FAILED rc={rc}", flush=True)
+        for n in ns:
+            if kind == "bicubic" and n not in BICUBIC_NS and not args.quick:
+                continue
+            for pmod in pmods:
+                print(f"[{kind}] n={n} pmod={pmod}", flush=True)
+                rc, log = call_pipeline(kind, n, pmod, args.out,
+                                        args.workdir, args.platform)
+                if rc:
+                    print(f"  FAILED rc={rc} ({log})", flush=True)
+                # checkpoint the aggregate after every config
+                aggregate(args.out, args.out)
 
 
 if __name__ == "__main__":

