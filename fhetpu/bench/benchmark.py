@@ -41,8 +41,13 @@ POLY_N = [2048, 4096, 8192, 16384]
 PLAIN_MODS = [11, 31, 101, 307, 1009, 3001, 10007, 30011, 100003]
 DBC = 30  # parsed-but-unused in the reference (fhe_image.h:28)
 RESIZE_W = RESIZE_H = 17
-# ring degree -> (source image size, resize target); see module docstring
-IMG_PER_N = {2048: (48, 17), 4096: (48, 17), 8192: (16, 8), 16384: (8, 4)}
+# ring degree -> (source image size, resize target); see module docstring.
+# Sized by the measured tunnel DOWNLOAD bandwidth (~1.4-5 MB/s): the result
+# stream is ~(out_px*3) * size * 2*L*n*4 bytes per config; 48x48 jpg at
+# n=4096 alone is a ~11-minute download x 9 pmods.  n=2048 carries the
+# full-size exact-band comparison; the dedicated bench_results configs
+# carry 48x48 at n=4096/8192 for the default pmod.
+IMG_PER_N = {2048: (48, 17), 4096: (16, 8), 8192: (8, 4), 16384: (8, 4)}
 # bicubic grid cells: the faithful ct*ct path at n=8192 takes ~45 min per
 # run (deep BEHZ graphs); n-grid restricted, see docstring
 BICUBIC_NS = [2048, 4096]

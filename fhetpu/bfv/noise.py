@@ -91,12 +91,18 @@ def multiply_plain(a: NoiseBudget, operand_norm: float) -> NoiseBudget:
 
 
 def multiply(a: NoiseBudget, b: NoiseBudget, k1: int = 2, k2: int = 2,
-             mean: bool = False) -> NoiseBudget:
+             mean: bool = False, msg_l2: float = None) -> NoiseBudget:
+    """msg_l2 overrides the mean-case message-norm factor: a product of j
+    fract encodings has l2 ~ MEAN_MSG_L2**j, NOT MEAN_MSG_L2 -- using the
+    flat constant for the cubic power chain (t^2, t^3 operands) was
+    measured 14 bits optimistic at n=4096 and waved one garbage config
+    through (bench_results/noise_validation.json, bicubic_ctct rows)."""
     p = a.params
     if mean:
         # central-limit width sqrt(n*(k1+k2)) x typical message l2 instead
         # of the worst-case n*(k1+k2) x ||m||_inf<=t envelope
-        growth = math.log2(p.t * MEAN_MSG_L2 * math.sqrt(p.n * (k1 + k2)))
+        m = MEAN_MSG_L2 if msg_l2 is None else msg_l2
+        growth = math.log2(p.t * m * math.sqrt(p.n * (k1 + k2)))
     else:
         growth = math.log2(p.t * p.n * (k1 + k2))
     base = _log2add(a.log2_noise, b.log2_noise) + growth
@@ -184,15 +190,22 @@ def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,
         h = rl(multiply(nb, fresh(params, mean), mean=mean))
         k1 = 2 if relin_dbc is not None else 3
         return rl(multiply(h, fresh(params, mean), k1, 2, mean=mean))
+    # power-chain operand message norms: t^2 / t^3 are PRODUCTS of fract
+    # encodings, l2 ~ MEAN_MSG_L2^j, capped by the centered-mod-t bound
+    # (t/2)*sqrt(support): fract^j spans ~j*200 coefficients each < t/2
+    # after the centered lift.  Measured calibration:
+    # bench_results/noise_validation.json bicubic_ctct rows.
+    l2_t2 = min(MEAN_MSG_L2 ** 2, (params.t / 2.0) * math.sqrt(400.0))
+    l2_t3 = min(MEAN_MSG_L2 ** 3, (params.t / 2.0) * math.sqrt(600.0))
     if relin_dbc is not None:
         tsq = rl(multiply(fresh(params, mean), fresh(params, mean), mean=mean))
-        tcu = rl(multiply(tsq, fresh(params, mean), mean=mean))
-        h = rl(multiply(nb, tcu, mean=mean))
-        return rl(multiply(h, tcu, mean=mean))
+        tcu = rl(multiply(tsq, fresh(params, mean), mean=mean, msg_l2=l2_t2))
+        h = rl(multiply(nb, tcu, mean=mean, msg_l2=l2_t3))
+        return rl(multiply(h, tcu, mean=mean, msg_l2=l2_t3))
     tsq = multiply(fresh(params, mean), fresh(params, mean), mean=mean)
-    tcu = multiply(tsq, fresh(params, mean), 3, 2, mean=mean)
-    h = multiply(nb, tcu, 2, 4, mean=mean)  # a*t^3, size 5
-    return multiply(h, tcu, 5, 4, mean=mean)  # vertical pass, size 8
+    tcu = multiply(tsq, fresh(params, mean), 3, 2, mean=mean, msg_l2=l2_t2)
+    h = multiply(nb, tcu, 2, 4, mean=mean, msg_l2=l2_t3)  # a*t^3, size 5
+    return multiply(h, tcu, 5, 4, mean=mean, msg_l2=l2_t3)  # vertical, size 8
 
 
 def estimate_harmonics_decode(params: BfvParams, encoder, degree: int,

@@ -56,3 +56,51 @@ def rms_error(a: np.ndarray, b: np.ndarray) -> float:
     """RMS over all interleaved samples (fhe_image.h:508-521 semantics)."""
     d = a.astype(np.int64) - b.astype(np.int64)
     return float(np.sqrt(np.mean(d.astype(np.float64) ** 2)))
+
+
+def print_image(img: np.ndarray, file=None) -> str:
+    """Debug grid printer (fhe_image.h:126-138 print_image equivalent):
+    one row per line, integer-formatted samples."""
+    import sys
+
+    lines = [" ".join(f"{int(round(float(v))):4d}" for v in row)
+             for row in np.asarray(img).reshape(img.shape[0], -1)]
+    text = "\n".join(lines)
+    print(text, file=file or sys.stdout)
+    return text
+
+
+def print_blocks(blocks: np.ndarray, file=None) -> str:
+    """Debug 8x8-block printer (fhe_image.h:140-153 print_blocks
+    equivalent): each block as an 8x8 grid separated by blank lines."""
+    import sys
+
+    parts = []
+    for b in np.asarray(blocks).reshape(-1, 64):
+        parts.append("\n".join(
+            " ".join(f"{int(round(float(v))):5d}" for v in b[r * 8:(r + 1) * 8])
+            for r in range(8)
+        ))
+    text = "\n\n".join(parts)
+    print(text, file=file or sys.stdout)
+    return text
+
+
+def show_image(arr: np.ndarray, title: str = "fhetpu"):
+    """Interactive display (fhe_resize.h:72-97/120-141 show_image*
+    equivalent).  The reference shells out to X11 via OpenCV; headless TPU
+    hosts have no display, so this opens a PIL viewer when a display is
+    available and otherwise writes a PNG next to the cwd and says so."""
+    import os
+    import sys
+
+    from PIL import Image
+
+    im = Image.fromarray(np.asarray(arr).astype(np.uint8))
+    if os.environ.get("DISPLAY") or sys.platform == "darwin":
+        im.show(title=title)
+        return None
+    path = os.path.abspath(f"{title.replace(' ', '_')}.png")
+    im.save(path)
+    print(f"[show_image] no display; wrote {path}")
+    return path
