@@ -205,7 +205,12 @@ def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,
     tsq = multiply(fresh(params, mean), fresh(params, mean), mean=mean)
     tcu = multiply(tsq, fresh(params, mean), 3, 2, mean=mean, msg_l2=l2_t2)
     h = multiply(nb, tcu, 2, 4, mean=mean, msg_l2=l2_t3)  # a*t^3, size 5
-    return multiply(h, tcu, 5, 4, mean=mean, msg_l2=l2_t3)  # vertical, size 8
+    out = multiply(h, tcu, 5, 4, mean=mean, msg_l2=l2_t3)  # vertical, size 8
+    # +2 bits chain-dispersion allowance: the depth-4 unrelinearized chain's
+    # measured budgets sit within ~±2 bits of this estimate across n
+    # (docs/noise_validation.md bicubic_ctct rows); the margin keeps the
+    # gate conservative at every measured point
+    return NoiseBudget(out.log2_noise + 2.0, params) if mean else out
 
 
 def estimate_harmonics_decode(params: BfvParams, encoder, degree: int,

@@ -360,6 +360,15 @@ def main():
                 lines.append(f"  {k},{r[k]}")
         lines.append("")
     lines += [
+        "# NOTE on the harmonic-decode Step rows: the first sample of each",
+        "# config is the jitted expansion's compile (e.g. order-16 samples",
+        "# [10784, 20.5, 20.1] ms/position), so the order-16 MEAN looks",
+        "# slower than order-64 only because the same one-off compile is",
+        "# amortized over 4x fewer positions.  Steady state is ordered as",
+        "# expected: ~20 ms/position at order 16 vs ~140 at order 64 on",
+        "# this link; the on-chip in-graph number is bench_core.json's",
+        "# harmonics_order* positions/s.",
+        "#",
         "# NOTE on per-op ms rows: servers here reach the TPU through the",
         "# axon remote tunnel, so CLI spans include host<->device ciphertext",
         "# transfer at ~MB/s plus first-compile -- they measure the",

@@ -30,7 +30,17 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--platform", default=os.environ.get("FHETPU_BENCH_PLATFORM", ""))
+    ap.add_argument("--only", default="",
+                    help="comma-separated op-label substrings: run only "
+                         "matching sections and MERGE into the existing "
+                         "bench_core.json (rerun failed entries without "
+                         "repaying the whole suite)")
     args = ap.parse_args()
+
+    def wanted(label: str) -> bool:
+        if not args.only:
+            return True
+        return any(s and s in label for s in args.only.split(","))
 
     import jax
 
@@ -101,6 +111,8 @@ def main():
     from fhetpu.core.ntt import _ntt_impl
 
     for Bsz in (16, 64, 256, 1024):
+        if not wanted("ntt_sweep"):
+            break
         x_s = jnp.asarray(rand_rns((Bsz,)))
         entry = {}
         entry["xla"] = sweep_entry(
@@ -143,6 +155,8 @@ def main():
     x = jnp.asarray(rand_rns((B,)))
 
     def ntt_loop(fn, label):
+        if not wanted(label):
+            return
         results["ops"][label] = sweep_entry(fn, x, label, B)
 
     # explicit staged-XLA graphs (the production dispatcher ntt_mod.ntt
@@ -180,13 +194,14 @@ def main():
         return lax.fori_loop(0, k, body, v, unroll=1)
 
     jmul = jax.jit(mul_loop)
-    sec, k, dt = measure(jmul, a.data, "behz_multiply")
-    results["ops"]["behz_multiply"] = {
-        "ms_per_batch": round(sec * 1e3, 3),
-        "ct_mults_per_s": round(B / sec, 1),
-        "k": k,
-        "dt_s": round(dt, 3),
-    }
+    if wanted("behz_multiply"):
+        sec, k, dt = measure(jmul, a.data, "behz_multiply")
+        results["ops"]["behz_multiply"] = {
+            "ms_per_batch": round(sec * 1e3, 3),
+            "ct_mults_per_s": round(B / sec, 1),
+            "k": k,
+            "dt_s": round(dt, 3),
+        }
 
     # ---- relinearize (3 -> 2), batched digit decomposition --------------
     from fhetpu.bfv.crypto import KeyGenerator
@@ -203,13 +218,14 @@ def main():
         return lax.fori_loop(0, k, body, v, unroll=1)
 
     jrelin = jax.jit(relin_loop)
-    sec, k, dt = measure(jrelin, c3, "relinearize")
-    results["ops"]["relinearize"] = {
-        "ms_per_batch": round(sec * 1e3, 3),
-        "relins_per_s": round(B / sec, 1),
-        "k": k,
-        "dt_s": round(dt, 3),
-    }
+    if wanted("relinearize"):
+        sec, k, dt = measure(jrelin, c3, "relinearize")
+        results["ops"]["relinearize"] = {
+            "ms_per_batch": round(sec * 1e3, 3),
+            "relins_per_s": round(B / sec, 1),
+            "k": k,
+            "dt_s": round(dt, 3),
+        }
 
     # ---- resize interpolation throughput (VERDICT r3 item 5) -------------
     # In-graph interps/s for the reference's Linear/Cubic ms-per-interp
@@ -243,11 +259,33 @@ def main():
 
             return lax.fori_loop(0, k, body, w, unroll=1)
 
+        timing = "in-graph fori"
         try:
             sec, k_, dt = measure(jax.jit(loop), win, label)
         except Exception as e:
-            results["ops"][label] = f"{type(e).__name__}: {e}"[:200]
-            return
+            # the deep ct*ct tile wrapped in fori_loop can exceed the
+            # remote compiler's limits; fall back to direct repeated
+            # dispatches (valid when per-call compute >> the ~50 ms
+            # dispatch floor, which holds for the ct*ct tiles)
+            import time as _time
+
+            print(f"[bench] {label}: fori variant failed ({e}); "
+                  "direct-dispatch fallback", file=sys.stderr)
+            try:
+                f = jax.jit(lambda w: rz.resize_tile(
+                    ev, w, rz.AxisPlan(rp_i, None), rz.AxisPlan(cp_i, None),
+                    yops, xops, mode, plain, relin))
+                np.asarray(f(win))  # warm (forces the remote compile)
+                samples = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    f(win).block_until_ready()
+                    samples.append(_time.perf_counter() - t0)
+                sec, k_, dt = min(samples), 1, sum(samples)
+                timing = "direct-dispatch (incl. ~50ms floor)"
+            except Exception as e2:
+                results["ops"][label] = f"{type(e2).__name__}: {e2}"[:200]
+                return
         results["ops"][label] = {
             "ms_per_tile": round(sec * 1e3, 3),
             "out_px": H2 * W2,
@@ -255,14 +293,19 @@ def main():
             "ms_per_interp": round(sec * 1e3 / interps, 4),
             "k": k_,
             "dt_s": round(dt, 3),
+            "timing": timing,
         }
 
-    resize_entry("linear_plainfract", rz.BILINEAR, True, None, 17, 17)
-    resize_entry("cubic_plainfract", rz.BICUBIC, True, None, 17, 17)
-    resize_entry("cubic_ctct_relin16", rz.BICUBIC, False, rk16, 17, 17)
+    if wanted("linear_plainfract"):
+        resize_entry("linear_plainfract", rz.BILINEAR, True, None, 17, 17)
+    if wanted("cubic_plainfract"):
+        resize_entry("cubic_plainfract", rz.BICUBIC, True, None, 17, 17)
+    if wanted("cubic_ctct_relin16"):
+        resize_entry("cubic_ctct_relin16", rz.BICUBIC, False, rk16, 17, 17)
     # faithful unrelinearized ct*ct: size-8 two-base tensor product; smaller
     # tile bounds the live intermediates like server_resize --tile-*
-    resize_entry("cubic_ctct_faithful", rz.BICUBIC, False, None, 4, 4)
+    if wanted("cubic_ctct_faithful"):
+        resize_entry("cubic_ctct_faithful", rz.BICUBIC, False, None, 4, 4)
 
     # ---- harmonic decode expansion throughput (VERDICT r3 item 5) --------
     # Depth-0 positions/s: out_i = h0 + sum_j cos(a_j i) hc_j + sin(a_j i)
@@ -273,6 +316,8 @@ def main():
     from fhetpu.pipelines import rle_decode as rd
 
     for order, degree in ((16, 48), (64, 192)):
+        if not wanted(f"harmonics_order{order}"):
+            continue
         positions = np.arange(order, dtype=np.float64)
         Hh = 2 * degree + 1
         harm = Ct(jnp.asarray(rand_rns((Hh, 2))), False)
@@ -313,6 +358,14 @@ def main():
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench_core.json"
     )
+    if args.only and os.path.exists(out_path):
+        # merge mode: refresh only the sections that ran
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior["ops"].update(results["ops"])
+        if results["ntt_sweep"]:
+            prior["ntt_sweep"] = results["ntt_sweep"]
+        results = prior
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["ops"], indent=1))
