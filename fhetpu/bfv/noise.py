@@ -157,7 +157,12 @@ def estimate_jpeg_pipeline(params: BfvParams, encoder,
     ycc = multiply_plain(ycc, norm(encoder, 0.125))
     # sums of 8 terms per pass (root-sum-square in the mean model)
     width = math.log2(8.0) if mean else math.log2(64)
-    return NoiseBudget(ycc.log2_noise + width, params)
+    # +2 bits dispersion allowance in the mean model: measured budgets at
+    # n=8192/16384 sit ~1.2-1.7 bits under the raw estimate
+    # (docs/noise_validation.md jpeg rows); margin keeps the gate
+    # conservative at every measured point without changing any decision
+    margin = 2.0 if mean else 0.0
+    return NoiseBudget(ycc.log2_noise + width + margin, params)
 
 
 def estimate_resize_pipeline(params: BfvParams, encoder, bicubic: bool,

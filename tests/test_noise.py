@@ -133,3 +133,31 @@ def test_noise_model_conservative_vs_measured(pipeline, n, t):
     row = nv.run_point(pipeline, n, t)
     assert not row["gate_mismatch"], row
     assert row["conservative"], row
+
+
+def test_noise_model_conservative_on_committed_sweep():
+    """Artifact-level check over ALL 66 measured points (measurement is in
+    bench_results/noise_validation.json; only the model is recomputed):
+    the shipped gate is conservative everywhere with zero mismatches."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_results", "noise_validation.json")
+    if not os.path.exists(path):
+        pytest.skip("sweep artifact not present")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "noise_reeval", os.path.join(os.path.dirname(path), "..", "scripts",
+                                     "noise_reeval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = [r for r in json.load(open(path)) if "error" not in r]
+    assert rows, "empty sweep artifact"
+    for r in rows:
+        est_mean, _ = mod.model_point(r["pipeline"], r["n"], r["t"])
+        mean_bits = est_mean.budget_bits
+        assert int(mean_bits) <= r["measured_budget"], r
+        assert not (not est_mean.exhausted()
+                    and r["measured_budget"] == 0), r
