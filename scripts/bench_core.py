@@ -300,12 +300,16 @@ def main():
         resize_entry("linear_plainfract", rz.BILINEAR, True, None, 17, 17)
     if wanted("cubic_plainfract"):
         resize_entry("cubic_plainfract", rz.BICUBIC, True, None, 17, 17)
+    # ct*ct tiles sized down (4x4 relin / 2x2 faithful): the 17x17 relin
+    # and 4x4 faithful graphs crashed the remote compile service
+    # (tpu_compile_helper exit 1) -- per-interp throughput is tile-size
+    # independent once the dispatch floor is amortized
     if wanted("cubic_ctct_relin16"):
-        resize_entry("cubic_ctct_relin16", rz.BICUBIC, False, rk16, 17, 17)
-    # faithful unrelinearized ct*ct: size-8 two-base tensor product; smaller
-    # tile bounds the live intermediates like server_resize --tile-*
+        resize_entry("cubic_ctct_relin16", rz.BICUBIC, False, rk16, 4, 4,
+                     Hs=8, Ws=8)
     if wanted("cubic_ctct_faithful"):
-        resize_entry("cubic_ctct_faithful", rz.BICUBIC, False, None, 4, 4)
+        resize_entry("cubic_ctct_faithful", rz.BICUBIC, False, None, 2, 2,
+                     Hs=8, Ws=8)
 
     # ---- harmonic decode expansion throughput (VERDICT r3 item 5) --------
     # Depth-0 positions/s: out_i = h0 + sum_j cos(a_j i) hc_j + sin(a_j i)
