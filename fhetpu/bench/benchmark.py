@@ -54,8 +54,11 @@ BICUBIC_NS = [2048, 4096]
 
 
 def run(cmd, log, env=None, timeout=None):
+    # grid stages are small (ring-scaled images); a wedged tunnel RPC --
+    # server idle on a futex with ~0 CPU -- must not eat 45 min of sweep
+    # time, so the default stage timeout is tight here
     if timeout is None:
-        timeout = int(os.environ.get("FHETPU_BENCH_STAGE_TIMEOUT", 2700))
+        timeout = int(os.environ.get("FHETPU_BENCH_STAGE_TIMEOUT", 900))
     with open(log, "a") as f:
         f.write("$ " + " ".join(cmd) + "\n")
         f.flush()
