@@ -220,11 +220,19 @@ def _cached(primes: tuple, n: int, forward: bool, R: int, interpret: bool):
 def default_rows_per_block(L: int, n: int, logn: int) -> int:
     """Largest power-of-two R whose working set fits VMEM: the twiddle
     tables are resident (2 * S * L * n * 4 bytes) and each butterfly stage
-    keeps ~6 live [R, L, n] uint32 temporaries."""
-    tables_bytes = 2 * (logn + 1) * L * n * 4
+    keeps ~6 live [R, L, n] uint32 temporaries.
+
+    The limb axis is the sublane dimension of the (8, 128) vreg tiling, so
+    L in 5..7 physically pads to 8 -- ignoring that made the BEHZ Bsk base
+    (K=6 at n=4096) pick R=8 and blow the 16M scoped-VMEM limit by 3.7%
+    (round-4 grid: bilinear_boaz16_4096 compile failures; same signature in
+    the fori-wrapped ct*ct bench entries).  L=4 packs two limb planes per
+    vreg row and is measured good at R=16 on hardware."""
+    Lp = 8 if 4 < L < 8 else L
+    tables_bytes = 2 * (logn + 1) * Lp * n * 4
     budget = 13 * 1024 * 1024 - tables_bytes
     R = 1
-    while 2 * R * 6 * L * n * 4 <= budget and R < 32:
+    while 2 * R * 6 * Lp * n * 4 <= budget and R < 32:
         R *= 2
     return R  # measured best: R=16 at n=4096/L=4 (see module docstring)
 
