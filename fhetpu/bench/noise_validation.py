@@ -19,6 +19,8 @@ this tracker (tests/test_parity.py reproduces it).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..bfv import noise
@@ -154,8 +156,10 @@ def run_point(pipeline: str, n: int, t: int) -> dict:
         # conservative: the gate's promise never exceeds the measurement.
         # measured_budget is floor(log2(...)) -- an integer -- so the
         # like-for-like comparison floors the model too (model 22.4 vs
-        # measured 22 means both land in the [22, 23) bit bucket)
-        "conservative": bool(int(mean_bits) <= measured),
+        # measured 22 means both land in the [22, 23) bit bucket).  Floor
+        # the UNROUNDED value: round-to-1dp first would promote 22.96 to
+        # the 23 bucket here while tests/test_noise.py floors to 22.
+        "conservative": bool(math.floor(est_mean.budget_bits) <= measured),
         # dangerous direction: gate says run but decryption is garbage
         "gate_mismatch": bool(not est_mean.exhausted() and measured == 0),
     }

@@ -73,7 +73,11 @@ def main(argv=None):
 
         ndev = len(jax.devices())
         sharding = NamedSharding(make_mesh({"dp": ndev}), P("dp"))
-        server = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+        # donate like the unsharded path: without it each dispatch holds
+        # input+output batches in HBM simultaneously, raising the peak by
+        # a full chunk (sharded arrays are donatable)
+        server = jax.jit(fn, in_shardings=sharding, out_shardings=sharding,
+                         donate_argnums=(0,))
         if args.verbose:
             print(f"dp-sharded over {ndev} devices", file=sys.stderr)
     else:

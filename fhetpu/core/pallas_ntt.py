@@ -227,8 +227,11 @@ def default_rows_per_block(L: int, n: int, logn: int) -> int:
     (K=6 at n=4096) pick R=8 and blow the 16M scoped-VMEM limit by 3.7%
     (round-4 grid: bilinear_boaz16_4096 compile failures; same signature in
     the fori-wrapped ct*ct bench entries).  L=4 packs two limb planes per
-    vreg row and is measured good at R=16 on hardware."""
-    Lp = 8 if 4 < L < 8 else L
+    vreg row and is measured good at R=16 on hardware.  Rounding is general
+    (any L rounds up to the next sublane multiple of 8, L<=4 divides a vreg
+    row evenly) so e.g. the K=10 BEHZ Bsk base at n=8192 (L in 9..15 pads
+    to 16) is budgeted at its physical footprint too."""
+    Lp = L if L <= 4 else -(-L // 8) * 8
     tables_bytes = 2 * (logn + 1) * Lp * n * 4
     budget = 13 * 1024 * 1024 - tables_bytes
     R = 1

@@ -162,6 +162,41 @@ def test_fused_server_kernel_matches_jnp_server(setup):
     np.testing.assert_array_equal(lazy, ref)
 
 
+def test_fused_lazy_m1_branch_bit_identity():
+    """The lazy kernel's m=1 headroom branch (29-bit primes -- the chain the
+    n=8192 default params select, where only 8p of u32 headroom remains and
+    the reduction points differ from the m=2 chain) is bit-identical to the
+    jnp server too.  Runs on a 29-bit-prime set at n=2048 so interpret mode
+    stays CI-fast; the branch choice depends only on prime bit-length
+    (core/pallas_server.py lazy_bound_multiple), not the ring degree."""
+    from fhetpu.core import pallas_server
+    from fhetpu.core.primes import default_aux_modulus, gen_ntt_primes
+
+    q = tuple(gen_ntt_primes(29, 2))
+    b, m_sk = default_aux_modulus(N)
+    par = BfvParams(n=N, t=T, q_primes=q, b_primes=b, m_sk=m_sk)
+    encoder = FractionalEncoder(T, N)
+    ev = Evaluator(par, encoder)
+    assert pallas_server.lazy_bound_multiple(ev) == 1
+    rng = np.random.default_rng(9)
+    shape = (1, 3, 64, 2, par.L, par.n)
+    limbs = [
+        rng.integers(0, int(p), size=shape[:-2] + (par.n,), dtype=np.uint64)
+        for p in par.q_primes
+    ]
+    cts = jnp.asarray(np.stack(limbs, axis=-2).astype(np.uint32))
+    ref = np.asarray(
+        pipe.server_compute_fn(ev, input_ntt=True, output_ntt=True)(cts)
+    )
+    lazy = np.asarray(
+        pipe.server_compute_fn(
+            ev, input_ntt=True, output_ntt=True, use_fused=True,
+            pallas_interpret=True, fused_lazy=True,
+        )(cts)
+    )
+    np.testing.assert_array_equal(lazy, ref)
+
+
 def test_cli_roundtrip(tmp_path, setup):
     _, _, _, _, _, _, img = setup
     from fhetpu.cli import client_jpeg, server_jpeg

@@ -2,6 +2,8 @@
 i.e. predicted budget <= measured budget) yet predict the same
 success/failure frontier the reference's RMS table shows."""
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -157,7 +159,8 @@ def test_noise_model_conservative_on_committed_sweep():
     assert rows, "empty sweep artifact"
     for r in rows:
         est_mean, _ = mod.model_point(r["pipeline"], r["n"], r["t"])
-        mean_bits = est_mean.budget_bits
-        assert int(mean_bits) <= r["measured_budget"], r
+        # floor of the unrounded model value: the same bucket rule
+        # run_point/noise_reeval use for the recorded "conservative" flag
+        assert math.floor(est_mean.budget_bits) <= r["measured_budget"], r
         assert not (not est_mean.exhausted()
                     and r["measured_budget"] == 0), r
