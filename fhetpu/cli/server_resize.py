@@ -153,30 +153,75 @@ def main(argv=None):
     # tile -- ~295 MB per 4-row tile at n=8192, which dominated wall clock
     # on a remote-tunnel link; with the delta upload each source row
     # crosses the host->device boundary exactly once.
-    window = None  # device array [rows, w, 3, 2, L, n] (host w/ --host-window)
-    win_lo = 0
+    # Fixed-shape ring window [win_h, w, 3, 2, L, n], slid with a donated
+    # roll + dynamic_update_slice: in/out shapes match, so XLA aliases the
+    # buffer IN PLACE and the window never holds a transient second copy
+    # (the previous eager concatenate kept old+new window live; donation
+    # on a concatenate is unusable -- output is larger than every input --
+    # so the fix is a constant-shape update, VERDICT r3/r4 HBM-margin
+    # item).  win_h is the max source-row span any output tile needs, the
+    # same bound _run_tiles pads dispatches to, so one buffer shape (and
+    # one tile executable) serves the whole run.  Gap rows between tile
+    # stencils are still read from the stream (never silently skipped)
+    # but no longer uploaded at all.
+    win_h = max(
+        int(row_plan.idx[y0:min(y0 + tile, h2)].max())
+        - int(row_plan.idx[y0:min(y0 + tile, h2)].min()) + 1
+        for y0 in range(0, h2, tile)
+    )
+    window = None  # device ring [win_h, ...] (variable-height host array
+    win_lo = 0     # w/ --host-window)
+    win_valid = 0  # buf rows [0, win_valid) hold source rows [win_lo, ...)
     rows_read = 0  # total source rows consumed from the stream
 
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def _slide_fn(drop, pos):
+        # static (drop, pos) -> tiny donated executable; distinct combos
+        # are bounded by the row-step pattern of the axis plan
+        def step(buf, new):
+            b = jnp.roll(buf, -drop, axis=0) if drop else buf
+            return jax.lax.dynamic_update_slice(
+                b, new, (pos, 0, 0, 0, 0, 0))
+        return jax.jit(step, donate_argnums=(0,))
+
     def advance_to(lo, hi):
-        nonlocal window, win_lo, rows_read
+        nonlocal window, win_lo, win_valid, rows_read
+        more = None
         if rows_read < hi:
             more = reader.read((hi - rows_read) * w * 3)
             assert more is not None, "source stream truncated"
             more = more.reshape(-1, w, 3, 2, par.L, par.n)
-            if not args.host_window:
-                # device-resident: each source row crosses the host->device
-                # boundary once; the extend transiently holds old+new window
-                # in HBM (use --host-window when that headroom matters)
-                more = jnp.asarray(more)
-            cat = jnp if not args.host_window else np
-            window = more if window is None else cat.concatenate(
-                [window, more], axis=0
-            )
+        if args.host_window:
+            if more is not None:
+                window = more if window is None else np.concatenate(
+                    [window, more], axis=0)
+            drop = lo - win_lo
+            if drop > 0:
+                window = window[drop:]
+                win_lo = lo
+            rows_read = max(rows_read, hi)
+            return window
+        if window is None:
+            window = jnp.zeros((win_h,) + (w, 3, 2, par.L, par.n),
+                               jnp.uint32)
+        new = None
+        if more is not None:
+            keep = max(lo - rows_read, 0)  # gap rows: read, not uploaded
+            if keep < more.shape[0]:
+                new = jnp.asarray(more[keep:])
             rows_read = hi
-        drop = lo - win_lo
-        if drop > 0:
-            window = window[drop:]
-            win_lo = lo
+        drop = min(max(lo - win_lo, 0), win_valid)
+        pos = win_valid - drop
+        if new is not None:
+            window = _slide_fn(drop, pos)(window, new)
+            win_valid = pos + new.shape[0]
+        elif drop:
+            window = _slide_fn(drop, 0)(window, window[:0])
+            win_valid = pos
+        win_lo = lo
+        assert win_valid == hi - lo <= win_h, (win_valid, lo, hi, win_h)
         return window
 
     ctile = args.tile_cols if args.tile_cols > 0 else w2
