@@ -18,9 +18,10 @@ Grid shape vs the reference (VERDICT r3 item 4):
   54 GB/config.  The frontier itself is ring-degree-invariant in the
   reference (identical RMS at every n, results.txt:45,39,99,51), so the
   small-image rows demonstrate the same invariance at the big rings.
-* bicubic runs the faithful encrypted-fract ct*ct path; its n=8192 cell at
-  the default t=2^14 is the dedicated bench_results/bicubic_boaz_17x17_ctct
-  config (a ~45-min single run); grid bicubic covers n=2048/4096.
+* bicubic runs the faithful encrypted-fract ct*ct path at ALL four ring
+  degrees on the same image ladder (48x48 at 2048, 16x16 at 4096, 8x8 at
+  8192/16384); the dedicated bench_results/bicubic_boaz_17x17_ctct config
+  additionally carries the full 17x17 benchmark size at n=8192.
 
 Usage: python -m fhetpu.bench.benchmark [--out LOGDIR] [--quick]
        [--pipelines jpg,bilinear,bicubic] [--ns 2048,4096,8192,16384]
@@ -48,9 +49,12 @@ RESIZE_W = RESIZE_H = 17
 # full-size exact-band comparison; the dedicated bench_results configs
 # carry 48x48 at n=4096/8192 for the default pmod.
 IMG_PER_N = {2048: (48, 17), 4096: (16, 8), 8192: (8, 4), 16384: (8, 4)}
-# bicubic grid cells: the faithful ct*ct path at n=8192 takes ~45 min per
-# run (deep BEHZ graphs); n-grid restricted, see docstring
-BICUBIC_NS = [2048, 4096]
+# bicubic runs at every ring degree on the same image ladder (VERDICT r4
+# item 1); tile shape per n bounds the unrelinearized size-8 tensor
+# product's live HBM (1-row x 4-col at n>=8192, like the dedicated
+# bicubic_boaz_17x17_ctct config)
+BICUBIC_NS = list(POLY_N)
+BICUBIC_TILES = {2048: (2, 8), 4096: (2, 8), 8192: (1, 4), 16384: (1, 4)}
 
 
 def run(cmd, log, env=None, timeout=None):
@@ -108,8 +112,9 @@ def call_pipeline(kind, n, pmod, logdir, workdir, platform):
         client_extra = size + ["--dbc", str(DBC)] + (
             ["--bicubic"] if kind == "bicubic" else [])
         # bound the unrelinearized size-8 tensor product's live memory
+        tr, tc = BICUBIC_TILES.get(n, (2, 8))
         server_extra = client_extra + (
-            ["--tile-rows", "2", "--tile-cols", "8"]
+            ["--tile-rows", str(tr), "--tile-cols", str(tc)]
             if kind == "bicubic" else [])
     rc = run(py + [mods[0], "--send", "-f", image, "-c", c2s] + common
              + client_extra, log, env)
