@@ -27,6 +27,8 @@ from ..core.primes import (
     M_TILDE,
     default_aux_modulus,
     default_coeff_modulus_128,
+    gen_ntt_primes,
+    native_coeff_modulus_128,
 )
 
 DEFAULT_PLAIN_MODULUS = 1 << 14  # fhe_image.h:26
@@ -56,6 +58,23 @@ class BfvParams:
         q = default_coeff_modulus_128(n)
         b, m_sk = default_aux_modulus(n)
         return BfvParams(n=n, t=t, q_primes=q, b_primes=b, m_sk=m_sk, dbc=dbc, sigma=sigma)
+
+    @staticmethod
+    def create_native(
+        n: int = DEFAULT_POLY_DEGREE,
+        t: int = DEFAULT_PLAIN_MODULUS,
+        dbc: int = DEFAULT_DBC,
+        sigma: float = DEFAULT_SIGMA,
+    ) -> "BfvParams":
+        """Opt-in fhetpu-native chain: the SEAL 2.3 total modulus bit budget
+        (same 128-bit security) split into <=28-bit primes so the lazy
+        fused server kernel applies at every ring degree (see
+        core/primes.py native_coeff_modulus_128).  NOT SEAL-parity."""
+        q = native_coeff_modulus_128(n)
+        L = len(q)
+        aux = gen_ntt_primes(30, L + 2, exclude=q)
+        return BfvParams(n=n, t=t, q_primes=q, b_primes=tuple(aux[:L + 1]),
+                         m_sk=aux[L + 1], dbc=dbc, sigma=sigma)
 
     # ----- basic derived quantities -------------------------------------
 

@@ -129,6 +129,33 @@ def default_coeff_modulus_128(n: int) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
+def native_coeff_modulus_128(n: int) -> tuple:
+    """fhetpu-NATIVE parameter chain: the same SEAL 2.3 total modulus bit
+    budget for ring degree ``n`` (identical 128-bit security level) split
+    into primes of <= 28 bits, so every prime leaves >= 16p of u32 headroom
+    and the deferred-reduction (lazy) fused server kernel applies at EVERY
+    ring degree -- including n=16384, whose SEAL-default chain (30-bit
+    primes) forces the strict kernel (docs/server_roofline.md bound chain).
+
+    NOT SEAL-parity: more, smaller primes (e.g. L=16 instead of 15 at
+    n=16384).  Bit-exactness and grid-parity claims against the reference
+    always use ``default_coeff_modulus_128``; this chain is an opt-in
+    throughput mode (bench.py ``native28`` rows).
+    """
+    if n not in SEAL23_TOTAL_BITS:
+        raise ValueError(f"no native coeff modulus for n={n}")
+    total = SEAL23_TOTAL_BITS[n]
+    if total <= 30:
+        return tuple(gen_ntt_primes(min(total, 28), 1))
+    sizes = _split_bits(total, lo=27, hi=28)
+    primes: List[int] = []
+    for b in sorted(set(sizes)):
+        need = sizes.count(b)
+        primes.extend(gen_ntt_primes(b, need, exclude=primes))
+    return tuple(sorted(primes, reverse=True))
+
+
+@functools.lru_cache(maxsize=None)
 def default_aux_modulus(n: int) -> tuple:
     """Auxiliary RNS base B ∪ {m_sk} for BEHZ ciphertext multiplication.
 

@@ -329,7 +329,15 @@ def main():
         hn = ev.transform_to_ntt(harm).data
         p, mu, sh = ev.p, ev.mu, ev.shift
 
-        def loop(hn_, k, tabs_=tabs):
+        # the weight table rides as a TRACED argument, not a closure
+        # constant: closed-over it is inlined into the HLO, and at order
+        # 64 that [385,64,L,n] literal made the remote_compile payload
+        # ~1.6 GB -- the round-4 broken-pipe failure.  As an operand it
+        # stays device-resident (zero per-call upload) and the program
+        # text stays small.
+        def loop(state, k):
+            hn_, tabs_ = state
+
             def body(i, h):
                 def inner(kk, acc):
                     term = modops.mulmod(tabs_[kk][:, None], h[kk][None],
@@ -346,7 +354,7 @@ def main():
 
         label = f"harmonics_order{order}"
         try:
-            sec, k_, dt = measure(jax.jit(loop), hn, label)
+            sec, k_, dt = measure(jax.jit(loop), (hn, tabs), label)
         except Exception as e:
             results["ops"][label] = f"{type(e).__name__}: {e}"[:200]
             continue

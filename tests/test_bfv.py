@@ -207,3 +207,31 @@ def test_add_many_multiply_many_exponentiate(ctx4096):
     assert e2.size == 2
     got2 = dec.decrypt(np.asarray(e2.data))
     assert abs(encoder.decode(got2) - 1.5 ** 3) < 1e-6
+
+
+def test_native_params_chain_roundtrip():
+    """The opt-in fhetpu-native <=28-bit chain (BfvParams.create_native)
+    carries the SAME total modulus bits as the SEAL-parity chain (same
+    128-bit security) with every prime lazy-kernel eligible, and the full
+    encrypt -> evaluate -> decrypt path works on it unchanged (everything
+    downstream derives from the params object)."""
+    par = BfvParams.create_native(n=8192, t=T)
+    ref = BfvParams.create(n=8192, t=T)
+    assert all(int(p).bit_length() <= 28 for p in par.q_primes)
+    assert sum(int(p).bit_length() for p in par.q_primes) == \
+        sum(int(p).bit_length() for p in ref.q_primes)
+    assert par.L == ref.L + 1 or par.L == ref.L  # more, smaller primes
+    kg = KeyGenerator(par, seed=21)
+    enc = Encryptor(par, kg.public_key(), seed=22)
+    dec = Decryptor(par, kg.secret)
+    encoder = FractionalEncoder(T, par.n)
+    ev = Evaluator(par, encoder)
+    pa, pb = encoder.encode(12.25), encoder.encode(-3.5)
+    ca = ev.transform_to_ntt(Ct(jnp.asarray(enc.encrypt(pa))))
+    cb = ev.transform_to_ntt(Ct(jnp.asarray(enc.encrypt(pb))))
+    s = ev.add(ca, cb)
+    got = encoder.decode(
+        dec.decrypt(np.asarray(ev.transform_from_ntt(s).data)))
+    assert abs(got - 8.75) < 1e-9
+    assert dec.invariant_noise_budget(np.asarray(
+        ev.transform_from_ntt(s).data)) > 100
