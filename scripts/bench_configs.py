@@ -376,6 +376,15 @@ def main():
         "# compute throughput is the committed bench_details.json /",
         "# bench_core.json numbers (in-graph fori_loop timing).",
         "#",
+        "# NOTE on Encryption/Decryption rows (client-side columns): these",
+        "# are tiny batches (a config encrypts as few as 192 coefficient-",
+        "# ciphertexts, sometimes count=1 spans), so per-call setup and",
+        "# first-call native-lib warmup dominate at n>=8192 -- do NOT read",
+        "# them against BASELINE.md's amortized single-core columns.  The",
+        "# apples-to-apples client-crypto numbers are the committed",
+        "# bench_results/hostcrypto.json (>=4096-ciphertext batches,",
+        "# scripts/bench_hostcrypto.py).",
+        "#",
         "# bicubic full-res feasibility (BASELINE config 3):",
         "# coolboaz-fullres.jpg is 3015x3016; one ciphertext per pixel-",
         "# channel (the reference protocol) at n=4096/L=4 is 128 KiB per",
