@@ -241,6 +241,45 @@ def np_intt(x: np.ndarray, tables: NttTables) -> np.ndarray:
     return _intt_impl(np, x, tables)
 
 
+def np_intt_scaled(x: np.ndarray, tables: NttTables,
+                   scale_u32: np.ndarray) -> np.ndarray:
+    """Host inverse NTT with a per-limb scalar folded into the final n^-1
+    scaling pass: returns INTT(x) * scale mod p at zero extra passes.
+    Used by the decrypt fast path to fold qhat_inv (BFV CRT decode) into
+    the transform.  scale_u32: uint32 [L]."""
+    from .. import native
+
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    L, n = len(tables.primes), tables.n
+    scale = np.asarray(scale_u32, dtype=np.uint64).reshape(-1)
+    assert scale.shape == (L,)
+    nlib = native.lib()
+    if nlib is not None and x.shape[-2:] == (L, n):
+        import ctypes
+
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        p64 = tables.p.astype(np.uint64).reshape(-1)
+        ninv = (tables.n_inv.astype(np.uint64).reshape(-1) * scale) % p64
+        ninv_sh = (ninv << np.uint64(32)) // p64
+        out = x.copy()
+        flat = out.reshape(-1, L, n)
+        nlib.fastntt_inverse(
+            out.ctypes.data_as(u32p), flat.shape[0], L, n,
+            np.ascontiguousarray(tables.ipsi_br).ctypes.data_as(u32p),
+            np.ascontiguousarray(tables.ipsi_br_shoup).ctypes.data_as(u32p),
+            np.ascontiguousarray(tables.p.reshape(-1)).ctypes.data_as(u32p),
+            np.ascontiguousarray(ninv.astype(np.uint32)).ctypes.data_as(u32p),
+            np.ascontiguousarray(
+                ninv_sh.astype(np.uint32)).ctypes.data_as(u32p),
+            native.default_threads(),
+        )
+        return out
+    y = np_intt(x, tables)
+    p64 = tables.p.astype(np.uint64).reshape(-1, 1)
+    return ((y.astype(np.uint64) * scale.reshape(-1, 1)) % p64).astype(
+        np.uint32)
+
+
 def np_pointwise_mulmod(a: np.ndarray, b: np.ndarray, tables: NttTables) -> np.ndarray:
     """Host pointwise a*b mod p over [..., L, n] with b either [..., L, n]
     (matching) or [L, n] (broadcast); native threaded kernel when available."""

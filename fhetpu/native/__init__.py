@@ -74,6 +74,17 @@ def lib():
                 i8p, u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                 u32p, u32p, u32p, ctypes.c_int,
             ]
+            L.fastntt_scalar_muladd.argtypes = [
+                u32p, u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                u32p, u32p, u32p, ctypes.c_int,
+            ]
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            L.fastntt_crt_decode.argtypes = [
+                u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_uint64, f64p, i64p, u8p, ctypes.c_int,
+            ]
             _LIB = L
         except OSError as e:
             print(f"fhetpu.native: load failed ({e}); using NumPy fallback",
