@@ -10,7 +10,7 @@ cd /root/repo
 W=/tmp/fhetpu_dbc
 OUT=bench_results/dbc_sweep
 mkdir -p $W $OUT
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 python - <<'EOF'
 from PIL import Image
 Image.open('/root/reference/image/boazbarak.jpg').convert('RGB').resize((16,16)).save('/tmp/fhetpu_dbc/boaz16.png')

@@ -13,7 +13,7 @@ cd /root/repo
 W=/tmp/fhetpu_purefhe
 OUT=bench_results/decode_pure_fhe.txt
 mkdir -p $W
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 python - <<'EOF'
 from PIL import Image
 import numpy as np
@@ -24,17 +24,21 @@ EOF
 : > $OUT
 log() { echo "$@" | tee -a $OUT; }
 run() { "$@" 2>&1 | tee -a $OUT; }
-FLAGS=(--keydir $W/keys --order 16 --degree 2 --relin --dbc 16)
+# NOTE: the decode protocol's params.txt carries no t (matching the
+# reference, whose client/server must be launched with identical flags),
+# so --pmod/--fcoeff ride on EVERY stage including the server.
+FLAGS=(--keydir $W/keys --order 16 --degree 2 --relin --dbc 16
+       --pmod 16777216 --fcoeff 10)
 log "# pure-FHE Taylor decode, n=16384 t=2^24 fcoeff=10 degree=2 order=16 relin dbc=16"
 log "## client --send"
 run python -m fhetpu.cli.client_decode --send -f $W/dark4.png -c $W/c2s.bin \
-    --cmod 16384 --pmod 16777216 --fcoeff 10 "${FLAGS[@]}"
+    --cmod 16384 "${FLAGS[@]}"
 log "## server --pure-fhe (TPU)"
 run timeout 3600 python -m fhetpu.cli.server_decode -i $W/c2s.bin \
     -c $W/s2c.bin --pure-fhe "${FLAGS[@]}"
 log "## client --recieve"
 run python -m fhetpu.cli.client_decode --recieve -f $W/dark4.png \
-    -i $W/s2c.bin -o $W/out.png --cmod 16384 --pmod 16777216 --fcoeff 10 \
+    -i $W/s2c.bin -o $W/out.png --cmod 16384 \
     "${FLAGS[@]}"
 log "## RMS vs input"
 python - <<'EOF' | tee -a bench_results/decode_pure_fhe.txt

@@ -17,7 +17,7 @@ cd /root/repo
 W=/tmp/fhetpu_shardscale
 OUT=bench_results/sharded_scale.txt
 mkdir -p $W
-export PYTHONPATH=/root/repo JAX_PLATFORMS=cpu
+export PYTHONPATH=/root/repo:${PYTHONPATH:-} JAX_PLATFORMS=cpu
 : > $OUT
 log() { echo "$@" | tee -a $OUT; }
 run() { "$@" 2>&1 | tee -a $OUT; }
