@@ -174,6 +174,16 @@ def main(argv=None):
                         args.order, args.degree, args.delta, positions, relin,
                     )
                 chan = run if chan is None else ev.add(chan, run)
+                # the eager Taylor chain spawns ~100 intermediate device
+                # buffers per pair (tens of MB each at n=16384); collect
+                # between pairs so dead handles release their backing
+                # memory promptly -- without this a 24-pair image peaks
+                # over 100 GB of client-side buffer staging on the
+                # remote-TPU backend (observed OOM kill)
+                import gc
+
+                del run
+                gc.collect()
             writer.append(np.asarray(ev.transform_from_ntt(chan).data))
         else:
             # batched trusted overload: decrypt every pair at once, evaluate

@@ -14,11 +14,15 @@ W=/tmp/fhetpu_purefhe
 OUT=bench_results/decode_pure_fhe.txt
 mkdir -p $W
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+# constant-per-channel 4x4 image: one RLE run per row (4 pairs/channel,
+# 12 total) -- each eager Taylor pair chain stages ~5 GB of client-side
+# buffers on the remote-TPU path, and the earlier 24-pair content was
+# OOM-killed at 130 GB.  Amplitudes inside the <~50 envelope.
 python - <<'EOF'
 from PIL import Image
 import numpy as np
-rng = np.random.default_rng(5)
-img = np.repeat(rng.integers(5, 50, (4, 2, 3), dtype=np.uint8), 2, axis=1)
+img = np.zeros((4, 4, 3), np.uint8)
+img[..., 0], img[..., 1], img[..., 2] = 40, 25, 10
 Image.fromarray(img, 'RGB').save('/tmp/fhetpu_purefhe/dark4.png')
 EOF
 : > $OUT
@@ -34,7 +38,7 @@ log "## client --send"
 run python -m fhetpu.cli.client_decode --send -f $W/dark4.png -c $W/c2s.bin \
     --cmod 16384 "${FLAGS[@]}"
 log "## server --pure-fhe (TPU)"
-run timeout 3600 python -m fhetpu.cli.server_decode -i $W/c2s.bin \
+run timeout 7200 python -m fhetpu.cli.server_decode -i $W/c2s.bin \
     -c $W/s2c.bin --pure-fhe "${FLAGS[@]}"
 log "## client --recieve"
 run python -m fhetpu.cli.client_decode --recieve -f $W/dark4.png \
