@@ -31,9 +31,9 @@ run() { "$@" 2>&1 | tee -a $OUT; }
 # NOTE: the decode protocol's params.txt carries no t (matching the
 # reference, whose client/server must be launched with identical flags),
 # so --pmod/--fcoeff ride on EVERY stage including the server.
-FLAGS=(--keydir $W/keys --order 16 --degree 2 --relin --dbc 16
+FLAGS=(--keydir $W/keys --order 64 --degree 2 --relin --dbc 16
        --pmod 16777216 --fcoeff 10)
-log "# pure-FHE Taylor decode, n=16384 t=2^24 fcoeff=10 degree=2 order=16 relin dbc=16"
+log "# pure-FHE Taylor decode, n=16384 t=2^24 fcoeff=10 degree=2 order=64 relin dbc=16"
 log "## client --send"
 run python -m fhetpu.cli.client_decode --send -f $W/dark4.png -c $W/c2s.bin \
     --cmod 16384 "${FLAGS[@]}"
@@ -53,3 +53,17 @@ b = np.asarray(Image.open('/tmp/fhetpu_purefhe/dark4.png')).astype(np.float64)
 print(f"RMS_vs_input,{np.sqrt(((a-b)**2).mean()):.4f},")
 EOF
 log "# done"
+log "## trusted-overload oracle (same series params, plaintext math, CPU)"
+JAX_PLATFORMS=cpu run timeout 600 python -m fhetpu.cli.server_decode \
+    -i $W/c2s.bin -c $W/s2c_trusted.bin --platform cpu "${FLAGS[@]}"
+JAX_PLATFORMS=cpu run python -m fhetpu.cli.client_decode --recieve \
+    -f $W/dark4.png -i $W/s2c_trusted.bin -o $W/out_trusted.png \
+    --cmod 16384 "${FLAGS[@]}"
+python - <<'PYEOF' | tee -a bench_results/decode_pure_fhe.txt
+import numpy as np
+from PIL import Image
+a = np.asarray(Image.open('/tmp/fhetpu_purefhe/out.png')).astype(np.float64)
+b = np.asarray(Image.open('/tmp/fhetpu_purefhe/out_trusted.png')).astype(np.float64)
+print(f"pure-FHE vs trusted RMS,{np.sqrt(((a-b)**2).mean()):.4f},")
+print(f"pure-FHE vs trusted max px diff,{int(np.abs(a-b).max())},")
+PYEOF
