@@ -15,7 +15,10 @@ python - <<'EOF'
 from PIL import Image
 Image.open('/root/reference/image/boazbarak.jpg').convert('RGB').resize((16,16)).save('/tmp/fhetpu_dbc/boaz16.png')
 EOF
-for DBC in 16 32 60; do
+# u32 primes cap digit_bits at 30 (the reference's {16,32,60} targets its
+# 62-bit SEAL primes); the meaningful sweep for a <2^30-prime RNS chain is
+# within [8, 30] -- same role: relin-noise vs key-size/time trade.
+for DBC in 8 16 30; do
   log=$OUT/bilinear_relin_4096_101_dbc${DBC}.txt
   : > $log
   echo "== dbc=$DBC ==" | tee -a $log
